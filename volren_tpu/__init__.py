@@ -10,6 +10,17 @@ workloads — designed for TPU meshes (pjit/shard_map) rather than a GL queue.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+# persistent XLA compilation cache: the tracer's nested scan/while graphs
+# take 20-200 s to compile cold; cache hits bring reruns to < 1 s
+if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    _cache = _os.path.join(_os.path.expanduser("~"), ".cache", "volren_tpu_xla")
+    _os.makedirs(_cache, exist_ok=True)
+    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
 from . import voldata  # noqa: F401
 
 __all__ = ["voldata"]

@@ -1,0 +1,259 @@
+"""Command-line interface.
+
+Flag-for-flag port of the reference's renderer arguments
+(/root/reference/src/main.cpp:360-435 parse_cmd) plus the window flags that
+still make sense headless (-w/-h from init_opengl_from_args,
+main.cpp:311-357). Bare paths are dispatched by extension exactly like
+handle_path (main.cpp:93-102): .py scripts, .hdr envmaps, .txt transfer
+functions, anything else a volume. The offline loop renders every animation
+frame, tonemaps in place, and writes numbered PNGs (main.cpp:524-558).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from .renderer import Renderer
+from .scene.environment import Environment, rotation_y
+from .scene.transferfunc import TransferFunction
+from .voldata import Volume
+
+
+def _load_volume(renderer: Renderer, path: str) -> None:
+    print(f"load volume: {path}")
+    if os.path.isdir(path):
+        renderer.volume = Volume.load_folder(path)
+    else:
+        renderer.volume = Volume(path)
+        if path.endswith(".vdb"):
+            from .voldata.volume import load_grid
+
+            for name in ("flame", "flames", "temperature"):
+                try:
+                    renderer.volume.update_grid_frame(
+                        renderer.volume.grid_frame_counter, load_grid(path, name), name
+                    )
+                    break
+                except Exception:
+                    continue
+    renderer.density_scale = 1.0
+    renderer.scale_and_move_to_unit_cube()
+    renderer.commit()
+    renderer.reset()
+
+
+def _handle_path(renderer: Renderer, path: str) -> None:
+    try:
+        if path.endswith(".py"):
+            run_script(renderer, path)
+        elif path.endswith(".hdr"):
+            renderer.set_environment(Environment(path))
+            renderer.reset()
+        elif path.endswith(".txt"):
+            renderer.set_transferfunc(TransferFunction(path))
+            renderer.show_environment = False
+            renderer.reset()
+        else:
+            _load_volume(renderer, path)
+    except Exception as e:  # keep previous state, like main.cpp:37-91
+        print(f"Unable to load {path}: {e}", file=sys.stderr)
+
+
+def run_script(renderer: Renderer, path: str) -> None:
+    """Execute a Python script with the ``volpy`` shim bound to this
+    renderer (counterpart of the embedded interpreter, main.cpp:83-91)."""
+    from . import volpy
+
+    volpy.bind_renderer(renderer)
+    code = open(path).read()
+    glb = {"__name__": "__main__", "__file__": path}
+    exec(compile(code, path, "exec"), glb)
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    renderer = Renderer()
+
+    interactive = True
+    out_filename = "output.png"
+    width, height = 1024, 1024
+    paths: list[str] = []
+    pending: list[tuple] = []  # deferred flag applications, in order
+
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+
+        def take(n=1):
+            nonlocal i
+            vals = argv[i + 1 : i + 1 + n]
+            i += n
+            return vals if n > 1 else vals[0]
+
+        if arg == "-w":
+            width = int(take())
+        elif arg == "-h":
+            height = int(take())
+        elif arg in ("--title", "--font"):
+            take()  # window-only flags, accepted for parity
+        elif arg in ("--major", "--minor", "--swap", "--fontsize"):
+            take()
+        elif arg in (
+            "--no-resize",
+            "--no-decoration",
+            "--floating",
+            "--maximised",
+            "---debug",
+            "--hidden",
+        ):
+            pass
+        elif arg == "--render":
+            interactive = False
+        elif arg == "--output":
+            out_filename = take()
+        elif arg in ("--samples", "--spp", "--sppx"):
+            renderer.sppx = int(take())
+        elif arg == "--bounces":
+            renderer.bounces = int(take())
+        elif arg == "--albedo":
+            renderer.albedo = np.full(3, float(take()), np.float32)
+        elif arg == "--density":
+            renderer.density_scale = float(take())
+        elif arg == "--emission":
+            renderer.emission_scale = float(take())
+        elif arg == "--phase":
+            renderer.phase = float(take())
+        elif arg == "--env_strength":
+            pending.append(("env_strength", float(take())))
+        elif arg == "--env_rot":
+            pending.append(("env_rot", float(take())))
+        elif arg == "--env_hide":
+            renderer.show_environment = False
+        elif arg in ("--turbo", "--viridis"):
+            tf = renderer.transferfunc or TransferFunction()
+            tf.colormap(arg.lstrip("-"))
+            pending.append(("tf", tf))
+        elif arg == "--fau":
+            tf = TransferFunction(
+                [
+                    (0, 0, 0, 0),
+                    (4 / 255, 49 / 255, 106 / 255, 0.33),
+                    (38 / 255, 97 / 255, 65 / 255, 0.66),
+                    (151 / 255, 27 / 255, 47 / 255, 1.0),
+                ]
+            )
+            pending.append(("tf", tf))
+        elif arg == "--tf_left":
+            pending.append(("tf_left", float(take())))
+        elif arg == "--tf_width":
+            pending.append(("tf_width", float(take())))
+        elif arg == "--cam_pos":
+            renderer.cam.pos = np.array([float(v) for v in take(3)], np.float32)
+        elif arg == "--cam_dir":
+            d = np.array([float(v) for v in take(3)], np.float32)
+            renderer.cam.dir = d / np.linalg.norm(d)
+        elif arg == "--cam_fov":
+            renderer.cam.fov_degree = float(take())
+        elif arg == "--exposure":
+            renderer.tonemap_exposure = float(take())
+        elif arg == "--gamma":
+            renderer.tonemap_gamma = float(take())
+        elif arg in ("--vol_rot_x", "--vol_rot_y", "--vol_rot_z"):
+            axis = {"x": 0, "y": 1, "z": 2}[arg[-1]]
+            pending.append(("vol_rot", axis, float(take())))
+        elif arg == "--vol_crop_min":
+            renderer.vol_clip_min = np.array([float(v) for v in take(3)], np.float32)
+        elif arg == "--vol_crop_max":
+            renderer.vol_clip_max = np.array([float(v) for v in take(3)], np.float32)
+        elif arg == "--no-dda":
+            renderer._use_dda = False
+        elif os.path.exists(arg):
+            paths.append(arg)
+        else:
+            print(f"ignoring unknown argument: {arg}", file=sys.stderr)
+        i += 1
+
+    renderer.init(width, height)
+
+    for path in paths:
+        _handle_path(renderer, path)
+
+    # default debug volume if nothing loaded (main.cpp:464-474)
+    if not renderer.volume.grids:
+        from .voldata import DenseGrid
+
+        values = np.array([1.0, 2.5, 5.0, 10.0], np.float32)
+        box = DenseGrid(1, 1, 4, values)
+        t = np.eye(4, dtype=np.float32)
+        t[:3, 3] = 2.0 * renderer.cam.dir + np.array([0, -0.5, -2], np.float32)
+        box.transform = t
+        renderer.volume = Volume(box)
+        renderer.commit()
+
+    # deferred flags that touch environment / tf objects
+    for item in pending:
+        if item[0] == "env_strength":
+            renderer.environment.strength = item[1]
+            renderer.set_environment(renderer.environment)
+        elif item[0] == "env_rot":
+            renderer.environment.transform = rotation_y(item[1])
+            renderer.set_environment(renderer.environment)
+        elif item[0] == "tf":
+            renderer.set_transferfunc(item[1])
+        elif item[0] == "tf_left" and renderer.transferfunc:
+            renderer.transferfunc.window_left = item[1]
+            renderer.set_transferfunc(renderer.transferfunc)
+        elif item[0] == "tf_width" and renderer.transferfunc:
+            renderer.transferfunc.window_width = item[1]
+            renderer.set_transferfunc(renderer.transferfunc)
+        elif item[0] == "vol_rot":
+            axis, deg = item[1], item[2]
+            c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+            rot = np.eye(4, dtype=np.float32)
+            a, b = [(1, 2), (0, 2), (0, 1)][axis]
+            rot[a, a] = c
+            rot[b, b] = c
+            rot[a, b] = -s if axis != 1 else s
+            rot[b, a] = s if axis != 1 else -s
+            renderer.volume.transform = renderer.volume.transform @ rot
+
+    renderer.reset()
+
+    if interactive:
+        print(
+            "note: interactive viewing is not supported headless; "
+            "rendering one frame to "
+            f"{out_filename} (use --render for the offline loop)"
+        )
+    # offline render loop (main.cpp:524-558)
+    print("rendering...")
+    for frame in range(renderer.volume.n_grid_frames()):
+        renderer.reset()
+        renderer.volume.grid_frame_counter = frame
+        import time
+
+        t0 = time.time()
+        while renderer.sample < renderer.sppx:
+            renderer.trace()
+            print(f"{renderer.sample} / {renderer.sppx}", end="\r", flush=True)
+        dt = time.time() - t0
+        print(f"{renderer.sppx} samples in {dt:.1f}s ({renderer.sppx / dt:.2f} spp/s)")
+        stem = os.path.splitext(out_filename)[0]
+        if renderer.volume.n_grid_frames() > 1 or not interactive:
+            out_fn = f"{stem}_{frame:06d}.png"
+        else:
+            out_fn = out_filename
+        from .utils.image import save_ldr
+
+        save_ldr(out_fn, renderer.draw(), flip=True, alpha=True)
+        print(f"{out_fn} written.")
+        if interactive:
+            break
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

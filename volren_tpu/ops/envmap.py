@@ -1,0 +1,113 @@
+"""Environment lookup / importance sampling / pdf.
+
+Ports /root/reference/shader/common.glsl:93-152: equirect radiance lookup,
+the hierarchical warp down the luminance mip pyramid, and the pdf used for
+MIS. The pdf convention replicates the reference exactly (luma ratio *
+1/4pi, no sin-theta Jacobian in the importance map) so outputs match the
+GLSL renderer sample-for-sample.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .geometry import M_PI, INV_4PI, luma
+from .scene import EnvDevice
+
+
+def _bilinear(img, u, v):
+    """GL-style bilinear: u wraps, v clamps. img rows in v-order."""
+    h, w = img.shape[0], img.shape[1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0w = jnp.mod(x0, w)
+    x1w = jnp.mod(x0 + 1, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    flat = img.reshape(h * w, -1)
+
+    def tap(yy, xx):
+        return flat.at[yy * w + xx].get(mode="promise_in_bounds")
+
+    top = tap(y0c, x0w) * (1 - fx) + tap(y0c, x1w) * fx
+    bot = tap(y1c, x0w) * (1 - fx) + tap(y1c, x1w) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def texture_env(env: EnvDevice, u, v):
+    return env.strength * _bilinear(env.envmap, u, v)
+
+
+def lookup_environment(env: EnvDevice, direction):
+    """Radiance along a world-space direction (common.glsl:93-98)."""
+    idir = direction @ env.inv_transform.T
+    u = jnp.arctan2(idir[..., 2], idir[..., 0]) / (2.0 * M_PI) + 0.5
+    v = 1.0 - jnp.arccos(jnp.clip(idir[..., 1], -1.0, 1.0)) / M_PI
+    return texture_env(env, u, v)
+
+
+def sample_environment(env: EnvDevice, u2):
+    """Hierarchical warp over the importance mips (common.glsl:100-146).
+
+    Returns (Le (N,3), pdf (N,), w_i (N,3)).
+    """
+    base_mip = len(env.imp_mips) - 1
+    n = u2.shape[0]
+    px = jnp.zeros((n,), jnp.int32)
+    py = jnp.zeros((n,), jnp.int32)
+    p = u2
+
+    # mip index m has dimension 2^(base_mip - ... ): imp_mips[m] is the GL
+    # mip m (512/2^m per side). Walk from coarse (base_mip-1) to fine (0).
+    for mip in range(base_mip - 1, -1, -1):
+        level = env.imp_mips[mip]
+        dim = level.shape[0]
+        flat = level.reshape(-1)
+        px = px * 2
+        py = py * 2
+        idx = py * dim + px
+
+        def tap(i):
+            return flat.at[i].get(mode="promise_in_bounds")
+
+        w0 = tap(idx)  # (+0, +0)
+        w1 = tap(idx + 1)  # (+1, +0)
+        w2 = tap(idx + dim)  # (+0, +1)
+        w3 = tap(idx + dim + 1)  # (+1, +1)
+        q0 = w0 + w2
+        q1 = w1 + w3
+        d = q0 / jnp.maximum(1e-8, q0 + q1)
+        go_right = p[..., 0] >= d
+        new_px_frac = jnp.where(go_right, (p[..., 0] - d) / (1.0 - d), p[..., 0] / d)
+        px = px + go_right.astype(jnp.int32)
+        e = jnp.where(go_right, w1 / jnp.maximum(q1, 1e-20), w0 / jnp.maximum(q0, 1e-20))
+        go_up = p[..., 1] >= e
+        new_py_frac = jnp.where(go_up, (p[..., 1] - e) / (1.0 - e), p[..., 1] / e)
+        py = py + go_up.astype(jnp.int32)
+        p = jnp.stack([new_px_frac, new_py_frac], axis=-1)
+
+    inv_dim = 1.0 / env.imp_mips[0].shape[0]
+    uv_x = (px.astype(jnp.float32) + p[..., 0]) * inv_dim
+    uv_y = (py.astype(jnp.float32) + p[..., 1]) * inv_dim
+    theta = jnp.clip(1.0 - uv_y, 0.0, 1.0) * M_PI
+    phi = (jnp.clip(uv_x, 0.0, 1.0) * 2.0 - 1.0) * M_PI
+    sin_t = jnp.sin(theta)
+    w_local = jnp.stack(
+        [sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1
+    )
+    w_i = w_local @ env.transform.T
+    le = texture_env(env, uv_x, uv_y)
+    avg_w = env.imp_mips[-1].reshape(())
+    base = env.imp_mips[0].reshape(-1)
+    pdf = base.at[py * env.imp_mips[0].shape[1] + px].get(mode="promise_in_bounds") / avg_w
+    return le, pdf * INV_4PI, w_i
+
+
+def pdf_environment(env: EnvDevice, direction):
+    """MIS pdf of the warp for a given direction (common.glsl:148-152)."""
+    avg_w = env.imp_mips[-1].reshape(())
+    return luma(lookup_environment(env, direction)) / avg_w * INV_4PI

@@ -1,0 +1,146 @@
+"""Brick-grid device lookups + stochastic filters.
+
+Ports /root/reference/shader/common.glsl:217-328 onto flat-array gathers:
+nearest/trilinear/stochastic-tricubic density lookups, majorant mip
+lookups, and the emission (blackbody-ish) lookup. All lookups clamp their
+integer coordinates into the padded brick extent — out-of-range bricks
+resolve through their (0, 0) range to zero density, matching the GL
+border/clamp behaviour for rays inside the AABB.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import rng as _rng
+from .scene import GridDevice
+
+
+def _gather(flat, idx):
+    return flat.at[idx].get(mode="promise_in_bounds")
+
+
+def _brick_dims(grid: GridDevice):
+    bz, by, bx = grid.indirection.shape
+    return bx, by, bz
+
+
+def lookup_density_brick(grid: GridDevice, ipos):
+    """Nearest-neighbour voxel decode (common.glsl:268-275).
+
+    ipos: (N, 3) float32 index-space positions.
+    """
+    bx, by, bz = _brick_dims(grid)
+    iipos = jnp.floor(ipos).astype(jnp.int32)
+    vx = jnp.clip(iipos[..., 0], 0, bx * 8 - 1)
+    vy = jnp.clip(iipos[..., 1], 0, by * 8 - 1)
+    vz = jnp.clip(iipos[..., 2], 0, bz * 8 - 1)
+    bidx = (vz >> 3) * (by * bx) + (vy >> 3) * bx + (vx >> 3)
+    slot = _gather(grid.indirection.reshape(-1), bidx)
+    rng_flat = grid.range_minmax.reshape(-1, 2)
+    rminmax = _gather(rng_flat, bidx)
+    aidx = slot * 512 + (vz & 7) * 64 + (vy & 7) * 8 + (vx & 7)
+    unorm = _gather(grid.atlas.reshape(-1), aidx).astype(jnp.float32) * (1.0 / 255.0)
+    return rminmax[..., 0] + unorm * (rminmax[..., 1] - rminmax[..., 0])
+
+
+def lookup_majorant(grid: GridDevice, ipos, mip, density_scale):
+    """Per-region majorant from the min/max pyramid (common.glsl:278-281).
+
+    mip: (N,) int32 in [0, 3]; 0 reads the base range buffer.
+    """
+    levels = (grid.range_minmax,) + grid.mips
+    iipos = jnp.floor(ipos).astype(jnp.int32)
+    out = jnp.zeros(ipos.shape[:-1], jnp.float32)
+    for m, level in enumerate(levels):
+        mz, my, mx = level.shape[:3]
+        bxm = jnp.clip(iipos[..., 0] >> (3 + m), 0, mx - 1)
+        bym = jnp.clip(iipos[..., 1] >> (3 + m), 0, my - 1)
+        bzm = jnp.clip(iipos[..., 2] >> (3 + m), 0, mz - 1)
+        val = _gather(level.reshape(-1, 2), (bzm * my + bym) * mx + bxm)[..., 1]
+        out = jnp.where(mip == m, val, out)
+    return density_scale * out
+
+
+def lookup_density(grid: GridDevice, ipos, density_scale):
+    return density_scale * lookup_density_brick(grid, ipos)
+
+
+def lookup_density_trilinear(grid: GridDevice, ipos, density_scale):
+    """Trilinear decode (common.glsl:289-297)."""
+    p = ipos - 0.5
+    base = jnp.floor(p)
+    f = p - base
+    acc = 0.0
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                w = (
+                    (f[..., 0] if dx else 1.0 - f[..., 0])
+                    * (f[..., 1] if dy else 1.0 - f[..., 1])
+                    * (f[..., 2] if dz else 1.0 - f[..., 2])
+                )
+                offs = jnp.array([dx, dy, dz], jnp.float32)
+                acc = acc + w * lookup_density_brick(grid, base + offs)
+    return density_scale * acc
+
+
+def stochastic_trilinear_filter(ipos, seed, active):
+    seed, u = _rng.rng_masked(seed, active)
+    seed, v = _rng.rng_masked(seed, active)
+    seed, w = _rng.rng_masked(seed, active)
+    r = jnp.stack([u, v, w], axis=-1)
+    return jnp.floor(ipos - 0.5 + r), seed
+
+
+def stochastic_tricubic_filter(ipos, seed, active):
+    """Weighted reservoir sampling of the tricubic B-spline taps
+    (common.glsl:221-244, after 'Stochastic Texture Filtering')."""
+    iipos = jnp.floor(ipos - 0.5)
+    t = (ipos - 0.5) - iipos
+    t2 = t * t
+    t3 = t * t2
+    w = (1.0 / 6.0) * (-t3 + 3.0 * t2 - 3.0 * t + 1.0)
+    sum_wt = w
+    idx = jnp.zeros_like(ipos)
+    taps = [
+        (1.0, (1.0 / 6.0) * (3.0 * t3 - 6.0 * t2 + 4.0)),
+        (2.0, (1.0 / 6.0) * (-3.0 * t3 + 3.0 * t2 + 3.0 * t + 1.0)),
+        (3.0, (1.0 / 6.0) * t3),
+    ]
+    for tap_idx, w in taps:
+        sum_wt = w + sum_wt
+        seed, r = _rng.rng_masked(seed, active)
+        seed, r2 = _rng.rng_masked(seed, active)
+        seed, r3 = _rng.rng_masked(seed, active)
+        r3v = jnp.stack([r, r2, r3], axis=-1)
+        take = r3v < w / jnp.maximum(1e-3, sum_wt)
+        idx = jnp.where(take, tap_idx, idx)
+    return iipos + idx - 1.0, seed
+
+
+def lookup_density_stochastic(grid: GridDevice, ipos, seed, active, density_scale):
+    """Stochastic tricubic density (common.glsl:300-304). Returns (d, seed)."""
+    tap, seed = stochastic_tricubic_filter(ipos, seed, active)
+    return lookup_density(grid, tap, density_scale), seed
+
+
+def lookup_emission(
+    emission_grid: GridDevice,
+    density_transform,
+    ipos,
+    seed,
+    active,
+    emission_scale,
+    emission_norm,
+):
+    """Blackbody-ish emission from the temperature grid
+    (common.glsl:324-328). ipos is in DENSITY index space; re-mapped through
+    world into the emission grid's index space. Returns ((N,3), seed)."""
+    world = ipos @ density_transform[:3, :3].T + density_transform[:3, 3]
+    epos = world @ emission_grid.inv_transform[:3, :3].T + emission_grid.inv_transform[:3, 3]
+    tap, seed = stochastic_tricubic_filter(epos, seed, active)
+    t = lookup_density_brick(emission_grid, tap) * emission_norm
+    t2 = t * t
+    e = jnp.stack([t2, t2 * t2, t2 * t2 * t2 * t2], axis=-1)
+    return emission_scale * e, seed

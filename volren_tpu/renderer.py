@@ -1,0 +1,242 @@
+"""Renderer: scene state + progressive trace passes.
+
+The TPU-native counterpart of RendererOpenGL
+(/root/reference/src/renderer.h:16-63): owns all render parameters and the
+device-resident scene (brick grids, environment, TF LUT), runs one
+progressive sample per trace() and keeps the running mean in a device
+framebuffer. commit() converts every animation frame's grids to device
+brick grids (renderer.cpp:56-76); draw() applies the Hable tonemap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .scene.camera import Camera
+from .scene.environment import Environment
+from .scene.transferfunc import TransferFunction
+from .voldata import Volume
+from .voldata.brick import to_brick_grid
+from .ops import scene as dscene
+from .ops import tonemap as _tonemap
+from .ops.scene import SceneDevice, TraceConfig, TraceParams
+from .ops.tracer import trace_pass
+from .utils.image import save_ldr
+
+EMISSION_GRID_NAMES = ("flame", "flames", "temperature")  # renderer.cpp:65
+
+
+class Renderer:
+    def __init__(self):
+        # general settings (renderer.h:31-38)
+        self.sample = 0
+        self.sppx = 1024
+        self.seed = 42
+        self.bounces = 100
+        self.tonemap_exposure = 5.0
+        self.tonemap_gamma = 2.2
+        self.tonemapping = True
+        self.show_environment = True
+        # volume settings (renderer.h:40-44)
+        self.albedo = np.array([0.9, 0.9, 0.9], np.float32)
+        self.phase = 0.0
+        self.density_scale = 1.0
+        self.emission_scale = 100.0
+        # scene
+        self.volume = Volume()
+        self.environment = Environment.white()
+        self.transferfunc: TransferFunction | None = None
+        self.vol_clip_min = np.zeros(3, np.float32)
+        self.vol_clip_max = np.ones(3, np.float32)
+        self.cam = Camera()
+        # device state
+        self._width = 1024
+        self._height = 1024
+        self._fb = None
+        self._density_grids = []  # per-frame GridDevice
+        self._emission_grids = []
+        self._majorant_emission = 0.0
+        self._env_device = None
+        self._tf_device = None
+        self._use_dda = True
+
+    # ---- lifecycle (RendererOpenGL::init/resize/commit/trace/draw/reset) ----
+
+    def init(self, width: int = 1024, height: int = 1024):
+        self.resize(width, height)
+        if self._env_device is None:
+            self.set_environment(self.environment)
+        return self
+
+    def resize(self, width: int, height: int):
+        self._width, self._height = int(width), int(height)
+        self._fb = jnp.zeros((self._height, self._width, 4), jnp.float32)
+        self.reset()
+
+    def set_environment(self, env: Environment):
+        self.environment = env
+        self._env_device = dscene.upload_environment(env)
+
+    def set_transferfunc(self, tf: TransferFunction | None):
+        self.transferfunc = tf
+        self._tf_device = dscene.upload_transferfunc(tf) if tf is not None else None
+
+    def commit(self):
+        """Convert every animation frame's grids to device brick grids
+        (renderer.cpp:56-76)."""
+        self._density_grids = []
+        self._emission_grids = []
+        self._majorant_emission = 0.0
+        for frame in self.volume.grids:
+            density = to_brick_grid(frame["density"])
+            self._density_grids.append(
+                dscene.upload_grid(density, self.volume.transform)
+            )
+            emission = None
+            for name in EMISSION_GRID_NAMES:
+                if name in frame:
+                    emission = frame[name]
+                    break
+            if emission is not None:
+                ebrick = to_brick_grid(emission)
+                self._emission_grids.append(
+                    dscene.upload_grid(ebrick, self.volume.transform)
+                )
+                self._majorant_emission = max(
+                    self._majorant_emission, emission.minorant_majorant()[1]
+                )
+
+    def reset(self):
+        self.sample = 0
+
+    # ---- parameter assembly ----
+
+    def _scene_device(self) -> SceneDevice:
+        frame = self.volume.grid_frame_counter
+        emission = (
+            self._emission_grids[frame] if frame < len(self._emission_grids) else None
+        )
+        return SceneDevice(
+            density=self._density_grids[frame],
+            emission=emission,
+            env=self._env_device,
+            tf=self._tf_device,
+        )
+
+    def _trace_params(self) -> TraceParams:
+        bb_min, bb_max = self.volume.AABB()
+        extent = bb_max - bb_min
+        mn, mj = self.volume.minorant_majorant()
+        maj = max(mj * self.density_scale, 1e-20)
+        f32 = np.float32
+        return TraceParams(
+            cam_pos=jnp.asarray(self.cam.pos, jnp.float32),
+            cam_transform=jnp.asarray(self.cam.transform),
+            cam_fov=jnp.asarray(f32(self.cam.fov_degree)),
+            bb_min=jnp.asarray(bb_min + self.vol_clip_min * extent),
+            bb_max=jnp.asarray(bb_min + self.vol_clip_max * extent),
+            majorant=jnp.asarray(f32(maj)),
+            inv_majorant=jnp.asarray(f32(1.0 / maj)),
+            albedo=jnp.asarray(np.broadcast_to(self.albedo, (3,)).astype(f32)),
+            phase_g=jnp.asarray(f32(self.phase)),
+            density_scale=jnp.asarray(f32(self.density_scale)),
+            emission_scale=jnp.asarray(f32(self.emission_scale)),
+            emission_norm=jnp.asarray(
+                f32(
+                    1.0 / max(self._majorant_emission, 1e-4)
+                    if self._majorant_emission > 0.0
+                    else 1.0
+                )
+            ),
+            bounces=jnp.asarray(np.int32(self.bounces)),
+            show_environment=jnp.asarray(np.int32(1 if self.show_environment else 0)),
+            seed=jnp.asarray(np.uint32(self.seed)),
+        )
+
+    def _config(self) -> TraceConfig:
+        frame = self.volume.grid_frame_counter
+        has_emission = frame < len(self._emission_grids)
+        return TraceConfig(
+            use_dda=self._use_dda,
+            use_tf=self._tf_device is not None,
+            has_emission=has_emission,
+        )
+
+    # ---- rendering ----
+
+    def trace(self):
+        """One progressive sample over the whole frame (+1 spp,
+        renderer.cpp:78-145)."""
+        if not self._density_grids:
+            self.commit()
+        self.sample += 1
+        self._fb = trace_pass(
+            self._scene_device(),
+            self._trace_params(),
+            self._config(),
+            self._fb,
+            jnp.asarray(np.int32(self.sample)),
+            self._width,
+            self._height,
+        )
+
+    def render(self, spp: int):
+        """Render spp samples from scratch (bindings.cpp:124-132)."""
+        self.sample = 0
+        for _ in range(int(spp)):
+            self.trace()
+        jax.block_until_ready(self._fb)
+
+    def draw(self) -> np.ndarray:
+        """Tonemapped (or raw) framebuffer as numpy (H, W, 4)."""
+        fb = self._fb
+        if self.tonemapping:
+            fb = _tonemap.tonemap(fb, self.tonemap_exposure, self.tonemap_gamma)
+        return np.asarray(fb)
+
+    def fbo_data(self) -> np.ndarray:
+        """Raw HDR framebuffer RGB (H, W, 3), device->host readback
+        (bindings.cpp:141-148)."""
+        return np.asarray(self._fb[..., :3])
+
+    def framebuffer(self) -> jnp.ndarray:
+        return self._fb
+
+    # ---- output ----
+
+    def save(self, filename: str = "out.png"):
+        save_ldr(filename, self.draw(), flip=True, alpha=False)
+        print(f"{filename} written.")
+
+    def save_with_alpha(self, filename: str = "out.png"):
+        if not filename.endswith(".png"):
+            filename = filename.rsplit(".", 1)[0] + ".png"
+        save_ldr(filename, self.draw(), flip=True, alpha=True)
+        print(f"{filename} written.")
+
+    # ---- helpers ----
+
+    def scale_and_move_to_unit_cube(self):
+        """Fit the whole animation into [-0.5, 0.5]^3 and compensate
+        density_scale by the size factor (renderer.cpp:227-242)."""
+        bb_min = np.full(3, np.finfo(np.float32).max)
+        bb_max = np.full(3, -np.finfo(np.float32).max)
+        for frame in self.volume.grids:
+            grid = frame["density"]
+            lo, hi = grid.world_aabb()
+            bb_min = np.minimum(bb_min, lo)
+            bb_max = np.maximum(bb_max, hi)
+        extent = bb_max - bb_min
+        size = float(extent.max())
+        if size != 1.0:
+            t = np.eye(4, dtype=np.float32)
+            t[:3, :3] *= 1.0 / size
+            t[:3, 3] = (-bb_min - 0.5 * extent) / size
+            self.volume.transform = t
+            self.density_scale *= size
+
+    @property
+    def resolution(self) -> tuple[int, int]:
+        return (self._width, self._height)
