@@ -1,0 +1,140 @@
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from volren_tpu.ops import rng as R
+from volren_tpu.ops import scene as dscene
+from volren_tpu.ops import tracking as T
+from volren_tpu.ops.scene import SceneDevice, TraceConfig, TraceParams
+from volren_tpu.voldata import build_brick_grid
+
+
+def make_scene(dense, density_scale=1.0, transform=None):
+    bg = build_brick_grid(np.asarray(dense, np.float32), transform)
+    gd = dscene.upload_grid(bg, np.eye(4, dtype=np.float32))
+    scene = SceneDevice(density=gd, emission=None, env=None, tf=None)
+    lo = np.zeros(3, np.float32)
+    hi = np.asarray(bg.voxel_extent, np.float32)
+    maj = max(bg.minorant_majorant()[1] * density_scale, 1e-20)
+    params = TraceParams(
+        cam_pos=jnp.zeros(3),
+        cam_transform=jnp.eye(3),
+        cam_fov=jnp.float32(40.0),
+        bb_min=jnp.asarray(lo),
+        bb_max=jnp.asarray(hi),
+        majorant=jnp.float32(maj),
+        inv_majorant=jnp.float32(1.0 / maj),
+        albedo=jnp.full(3, 0.8),
+        phase_g=jnp.float32(0.0),
+        density_scale=jnp.float32(density_scale),
+        emission_scale=jnp.float32(0.0),
+        emission_norm=jnp.float32(1.0),
+        bounces=jnp.int32(100),
+        show_environment=jnp.int32(1),
+        seed=jnp.uint32(42),
+    )
+    return scene, params
+
+
+def seeds(n, stream=0):
+    return R.tea(jnp.arange(n, dtype=jnp.uint32), jnp.uint32(stream + 1), 32)
+
+
+CFG = TraceConfig(use_dda=False, use_tf=False, has_emission=False, max_steps=4096)
+CFG_DDA = TraceConfig(use_dda=True, use_tf=False, has_emission=False, max_steps=4096)
+
+
+def test_constant_density_transmittance_closed_form():
+    """Tr through constant density sigma over length L is exp(-sigma*L)."""
+    sigma = 0.35
+    dense = np.full((16, 16, 16), sigma, np.float32)
+    # perturb one voxel so the grid isn't "constant brick only" everywhere
+    dense[0, 0, 0] = sigma * 1.0001
+    scene, params = make_scene(dense)
+    n = 40_000
+    org = jnp.tile(jnp.array([[-5.0, 8.0, 8.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1))
+    active = jnp.ones(n, bool)
+    expect = np.exp(-sigma * 16.0)
+    for cfg, fn in ((CFG, T.transmittance), (CFG_DDA, T.transmittance_dda)):
+        f = jax.jit(functools.partial(fn, cfg=cfg))
+        tr, _ = f(scene, params, org=org, direction=d, seed=seeds(n), active=active)
+        got = float(np.asarray(tr).mean())
+        assert abs(got - expect) < 0.01, (fn.__name__, got, expect)
+
+
+def test_transmittance_outside_box_is_one():
+    scene, params = make_scene(np.ones((8, 8, 8), np.float32))
+    org = jnp.array([[20.0, 20.0, 20.0]])
+    d = jnp.array([[1.0, 0.0, 0.0]])
+    tr, _ = jax.jit(functools.partial(T.transmittance, cfg=CFG))(
+        scene, params, org=org, direction=d, seed=seeds(1), active=jnp.ones(1, bool)
+    )
+    assert float(tr[0]) == 1.0
+
+
+def test_sample_volume_free_flight_distribution():
+    """In constant density, P(no collision) = exp(-sigma*L) and collision
+    t's follow a truncated exponential."""
+    sigma = 0.25
+    dense = np.full((16, 16, 16), sigma, np.float32)
+    dense[0, 0, 0] = sigma * 1.0001
+    scene, params = make_scene(dense)
+    n = 40_000
+    org = jnp.tile(jnp.array([[-3.0, 8.0, 8.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1))
+    thr = jnp.ones((n, 3))
+    le = jnp.zeros((n, 3))
+    for cfg, fn in ((CFG, T.sample_volume), (CFG_DDA, T.sample_volume_dda)):
+        f = jax.jit(functools.partial(fn, cfg=cfg))
+        hit, t, thr_out, _, _ = f(
+            scene, params, org=org, direction=d, throughput=thr, le=le,
+            seed=seeds(n, 3), active=jnp.ones(n, bool),
+        )
+        hit = np.asarray(hit)
+        p_escape = 1.0 - hit.mean()
+        assert abs(p_escape - np.exp(-sigma * 16)) < 0.01, fn.__name__
+        # mean collision t (from box entry at t=3): E[t] for truncated exp
+        tt = np.asarray(t)[hit] - 3.0
+        L = 16.0
+        a = sigma
+        expect_mean = (1 / a) - L * np.exp(-a * L) / (1 - np.exp(-a * L))
+        assert abs(tt.mean() - expect_mean) < 0.05, fn.__name__
+        # throughput multiplied by albedo exactly once on hit
+        np.testing.assert_allclose(np.asarray(thr_out)[hit][:, 0], 0.8, rtol=1e-6)
+
+
+def test_dda_and_delta_tracking_agree_on_heterogeneous_grid(random_grid16):
+    scene, params = make_scene(random_grid16, density_scale=0.5)
+    n = 30_000
+    rng = np.random.default_rng(3)
+    org = jnp.asarray((rng.random((n, 3)) * 30 - 7).astype(np.float32))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    active = jnp.ones(n, bool)
+    tr_a, _ = jax.jit(functools.partial(T.transmittance, cfg=CFG))(
+        scene, params, org=org, direction=d, seed=seeds(n, 5), active=active
+    )
+    tr_b, _ = jax.jit(functools.partial(T.transmittance_dda, cfg=CFG_DDA))(
+        scene, params, org=org, direction=d, seed=seeds(n, 6), active=active
+    )
+    ma, mb = float(np.asarray(tr_a).mean()), float(np.asarray(tr_b).mean())
+    # both unbiased estimators of the same integral
+    assert abs(ma - mb) < 0.01, (ma, mb)
+
+
+def test_tracking_respects_clip_box(random_grid16):
+    """Shrinking bb_min/bb_max must increase transmittance."""
+    scene, params = make_scene(random_grid16, density_scale=0.15)
+    n = 20_000
+    org = jnp.tile(jnp.array([[-3.0, 8.0, 8.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[1.0, 0.0, 0.0]]), (n, 1))
+    f = jax.jit(functools.partial(T.transmittance, cfg=CFG))
+    tr_full, _ = f(scene, params, org=org, direction=d, seed=seeds(n, 7), active=jnp.ones(n, bool))
+    params2 = params._replace(bb_min=jnp.asarray(np.array([12.0, 0, 0], np.float32)))
+    tr_clip, _ = f(scene, params2, org=org, direction=d, seed=seeds(n, 8), active=jnp.ones(n, bool))
+    assert float(np.asarray(tr_clip).mean()) > float(np.asarray(tr_full).mean())

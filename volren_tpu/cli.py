@@ -237,7 +237,10 @@ def main(argv: list[str] | None = None) -> int:
 
         t0 = time.time()
         while renderer.sample < renderer.sppx:
-            renderer.trace()
+            # chunk samples per device call: regeneration amortizes ragged
+            # path lengths within a chunk
+            step = min(renderer.sppx - renderer.sample, 64)
+            renderer.trace(spp=step)
             print(f"{renderer.sample} / {renderer.sppx}", end="\r", flush=True)
         dt = time.time() - t0
         print(f"{renderer.sppx} samples in {dt:.1f}s ({renderer.sppx / dt:.2f} spp/s)")

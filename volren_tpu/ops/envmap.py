@@ -107,6 +107,48 @@ def sample_environment(env: EnvDevice, u2):
     return le, pdf * INV_4PI, w_i
 
 
+def sample_environment_alias(env: EnvDevice, u2):
+    """O(1) environment texel sampling via the alias table.
+
+    Draws the exact texel distribution of the hierarchical warp (the
+    box-filtered pyramid telescopes to P(texel) = w / (N * avg)) with the
+    same uniform in-texel jitter, but in constant work per sample — the
+    device-loop-friendly replacement for the 9-level warp. Returns
+    (uv_x, uv_y, pdf, w_i) — radiance lookup left to the caller so it can be
+    batched with other envmap fetches.
+    """
+    base = env.imp_mips[0]
+    dim = base.shape[0]
+    n = dim * dim
+    scaled = u2[..., 0] * n
+    j = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
+    frac_x = scaled - j.astype(jnp.float32)
+    prob = env.alias_prob.at[j].get(mode="promise_in_bounds")
+    keep = u2[..., 1] < prob
+    texel = jnp.where(keep, j, env.alias_idx.at[j].get(mode="promise_in_bounds"))
+    # conditional rescale keeps the second uniform usable as in-texel jitter
+    frac_y = jnp.where(
+        keep,
+        u2[..., 1] / jnp.maximum(prob, 1e-12),
+        (u2[..., 1] - prob) / jnp.maximum(1.0 - prob, 1e-12),
+    )
+    px = texel % dim
+    py = texel // dim
+    inv_dim = 1.0 / dim
+    uv_x = (px.astype(jnp.float32) + frac_x) * inv_dim
+    uv_y = (py.astype(jnp.float32) + jnp.clip(frac_y, 0.0, 1.0)) * inv_dim
+    theta = jnp.clip(1.0 - uv_y, 0.0, 1.0) * M_PI
+    phi = (jnp.clip(uv_x, 0.0, 1.0) * 2.0 - 1.0) * M_PI
+    sin_t = jnp.sin(theta)
+    w_local = jnp.stack(
+        [sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1
+    )
+    w_i = w_local @ env.transform.T
+    avg_w = env.imp_mips[-1].reshape(())
+    pdf = base.reshape(-1).at[texel].get(mode="promise_in_bounds") / avg_w
+    return uv_x, uv_y, pdf * INV_4PI, w_i
+
+
 def pdf_environment(env: EnvDevice, direction):
     """MIS pdf of the warp for a given direction (common.glsl:148-152)."""
     avg_w = env.imp_mips[-1].reshape(())

@@ -1,0 +1,532 @@
+"""Wavefront megakernel: the TPU-native performance path.
+
+The reference runs one GL compute thread per pixel per spp with deeply
+divergent nested loops (pathtracer_brick.glsl -> trace_path ->
+sample_volumeDDA / transmittanceDDA). A literal port (nested masked
+while_loops, see ops/tracer.py — kept as the readable oracle) serializes
+every inner loop to its worst lane at full vector width.
+
+This module flattens the whole renderer into a per-lane state machine with
+sample regeneration:
+
+  lane = pixel. modes: INACTIVE, REGEN, EXTEND (path-ray DDA march),
+  SHADOW (NEE shadow-ray DDA march).
+
+  Each step every lane advances K DDA micro-steps (collision tests
+  inline), then pending events are resolved once: NEE setup (O(1)
+  alias-table environment sample instead of the 9-level mip warp), shadow
+  completion, scatter, path termination, sample regeneration. Finished
+  paths immediately start the pixel's next sample, so utilization stays
+  high until the global tail.
+
+Two drivers share the same step body:
+  * render_wavefront_host — HOST-stepped loop over a donated device state.
+    This is the fast path: XLA lowers gathers inside device-side
+    while_loops to a scalarized serial path (~40-70x slower than the
+    standalone vectorized gather kernels, measured on v5e), so the loop
+    lives on the host and every step is one jitted call whose gathers hit
+    the fast path. State buffers are donated, so there is no copy traffic.
+  * render_wavefront_tile — the same body inside lax.while_loop, used
+    where everything must stay in one jit (shard_map dry runs, tests).
+
+Estimator semantics are identical to ops/tracking.py (the GLSL port),
+including the reference's transmittanceDDA binary-visibility behaviour and
+emission weighting; only the RNG *consumption pattern* differs (alias
+sampling draws the same texel distribution as the hierarchical warp from
+the same two uniforms), so images agree in distribution, not bitwise.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from . import rng as _rng
+from .envmap import sample_environment_alias
+from .geometry import (
+    M_PI,
+    INV_4PI,
+    intersect_box,
+    luma,
+    normalize,
+    sanitize,
+    transform_point,
+    transform_vector,
+)
+from .grid import lookup_majorant
+from .phase import phase_henyey_greenstein, sample_phase_henyey_greenstein
+from .tracking import MIP_START, MIP_SPEED_DOWN, MIP_SPEED_UP, _density_at, _add_emission
+
+MODE_INACTIVE = 0
+MODE_REGEN = 1
+MODE_EXTEND = 2
+MODE_SHADOW = 3
+
+# event codes (pending, resolved once per step)
+EV_NONE = 0
+EV_EXT_HIT = 1  # real collision on the path ray
+EV_EXT_EXIT = 2  # path ray left the volume
+EV_SH_HIT = 3  # shadow ray occluded
+EV_SH_EXIT = 4  # shadow ray visible
+
+DEFAULT_K_MARCH = 4
+
+
+def _w3(mask, a, b):
+    return jnp.where(mask[..., None], a, b)
+
+
+def _env_bilinear_rows(envmap, u, v):
+    """4-tap bilinear fetch of (H, W, 3) rows (u wraps, v clamps)."""
+    h, w = envmap.shape[0], envmap.shape[1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0w = jnp.mod(x0, w)
+    x1w = jnp.mod(x0 + 1, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    flat = envmap.reshape(h * w, 3)
+
+    def tap(yy, xx):
+        return flat.at[yy * w + xx].get(mode="promise_in_bounds")
+
+    top = tap(y0c, x0w) * (1 - fx) + tap(y0c, x1w) * fx
+    bot = tap(y1c, x0w) * (1 - fx) + tap(y1c, x1w) * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _dir_to_uv(env_inv_transform, direction):
+    idir = direction @ env_inv_transform.T
+    u = jnp.arctan2(idir[..., 2], idir[..., 0]) / (2.0 * M_PI) + 0.5
+    v = 1.0 - jnp.arccos(jnp.clip(idir[..., 1], -1.0, 1.0)) / M_PI
+    return u, v
+
+
+def init_state(width: int, height: int):
+    """Fresh lane state for a width x height tile."""
+    n = width * height
+    f32, i32 = jnp.float32, jnp.int32
+    zeros = jnp.zeros((n,), f32)
+    zeros3 = jnp.zeros((n, 3), f32)
+    return {
+        "mode": jnp.full((n,), MODE_REGEN, i32),
+        "event": jnp.zeros((n,), i32),
+        "seed": jnp.zeros((n,), jnp.uint32),
+        "p_org": zeros3,
+        "p_dir": zeros3.at[:, 2].set(1.0),
+        "throughput": zeros3,
+        "L": zeros3,
+        "pending": zeros3,
+        "n_paths": jnp.zeros((n,), i32),
+        "last_f_p": zeros,
+        "free": jnp.zeros((n,), bool),
+        "t": zeros,
+        "far": zeros,
+        "tau": zeros,
+        "mip": zeros,
+        "ipos0": zeros3,
+        "idir": zeros3,
+        "ri": zeros3,
+        "accum": jnp.zeros((n, 4), f32),
+        "spp_done": jnp.zeros((n,), i32),
+    }
+
+
+def _march_once(s, scene, params, cfg):
+    """One DDA micro-step for lanes in EXTEND/SHADOW with no pending event.
+    Detects collisions; real collisions / exits become pending events."""
+    mode, event, seed = s["mode"], s["event"], s["seed"]
+    t, far, tau, mip = s["t"], s["far"], s["tau"], s["mip"]
+    ipos0, idir, ri = s["ipos0"], s["idir"], s["ri"]
+    grid = scene.density
+    f32, i32 = jnp.float32, jnp.int32
+
+    march = ((mode == MODE_EXTEND) | (mode == MODE_SHADOW)) & (event == EV_NONE)
+    is_extend = mode == MODE_EXTEND
+
+    curr = ipos0 + t[..., None] * idir
+    mip_i = jnp.round(mip).astype(i32)
+    maj = lookup_majorant(grid, curr, mip_i, params.density_scale)
+    if cfg.use_tf:
+        from .transfer import tf_lookup
+
+        maj = params.majorant * tf_lookup(scene.tf, maj * params.inv_majorant)[..., 3]
+    dim = (8 << mip_i).astype(f32)[..., None]
+    offs = jnp.where(ri >= 0.0, dim + 0.5, -0.5)
+    dt = ((jnp.floor(curr / dim) * dim + offs - curr) * ri).min(axis=-1)
+    t_adv = t + dt
+    tau_adv = tau - maj * dt
+    mip_up = jnp.minimum(mip + MIP_SPEED_UP, 3.0)
+
+    collide = march & (tau_adv <= 0.0)
+    t = jnp.where(
+        march,
+        jnp.where(collide, t_adv + tau_adv / jnp.maximum(maj, 1e-20), t_adv),
+        t,
+    )
+    exited = march & (t >= far)
+    test = collide & ~exited
+
+    pos_col = ipos0 + t[..., None] * idir
+    d, _rgba, seed = _density_at(scene, params, cfg, pos_col, seed, test)
+    le, seed = _add_emission(
+        scene,
+        params,
+        cfg,
+        pos_col,
+        d * params.inv_majorant,
+        s["throughput"],
+        s["L"],
+        seed,
+        test & is_extend,
+    )
+    seed, u_cls = _rng.rng_masked(seed, test)
+    real = test & (u_cls * jnp.maximum(maj, 0.0) < d)
+
+    # null collisions: redraw tau, drop mips, keep marching
+    redraw = test & ~real
+    seed, u_tau = _rng.rng_masked(seed, redraw)
+    tau = jnp.where(redraw, -jnp.log(1.0 - u_tau), jnp.where(march, tau_adv, tau))
+    mip = jnp.where(
+        redraw,
+        jnp.maximum(0.0, mip_up - MIP_SPEED_DOWN),
+        jnp.where(march, mip_up, mip),
+    )
+
+    event = jnp.where(
+        real & is_extend,
+        EV_EXT_HIT,
+        jnp.where(
+            real & ~is_extend,
+            EV_SH_HIT,
+            jnp.where(
+                exited, jnp.where(is_extend, EV_EXT_EXIT, EV_SH_EXIT), event
+            ),
+        ),
+    )
+
+    s = dict(s)
+    s.update(event=event, seed=seed, t=t, tau=tau, mip=mip, L=le)
+    return s
+
+
+def wavefront_step_body(s, scene, params, cfg, width, spp, spp_base, row0, full_height, k_march):
+    """One wavefront step: REGEN + K march micro-steps + event resolution."""
+    f32, i32 = jnp.float32, jnp.int32
+    n = s["mode"].shape[0]
+    lane_local = jnp.arange(n, dtype=jnp.uint32)
+    px = (lane_local % jnp.uint32(width)).astype(i32)
+    py = (lane_local // jnp.uint32(width)).astype(i32) + row0
+    lane = py.astype(jnp.uint32) * jnp.uint32(width) + px.astype(jnp.uint32)
+
+    mode, seed = s["mode"], s["seed"]
+    spp_done = s["spp_done"]
+
+    # ---------------- REGEN: start the pixel's next sample ----------------
+    regen = mode == MODE_REGEN
+    can = regen & (spp_done < spp)
+    mode = jnp.where(regen & ~can, MODE_INACTIVE, mode)
+    sample_idx = (spp_base + spp_done + 1).astype(jnp.uint32)
+    fresh_seed = _rng.tea(params.seed * lane, sample_idx, 32)
+    seed = jnp.where(can, fresh_seed, seed)
+    seed, u2j = _rng.rng2_masked(seed, can)
+    z_cam = -0.5 / jnp.tan(0.5 * M_PI * params.cam_fov / 180.0)
+    pix = jnp.stack(
+        [
+            (px.astype(f32) + u2j[..., 0] - f32(width) * 0.5) / f32(full_height),
+            (py.astype(f32) + u2j[..., 1] - f32(full_height) * 0.5) / f32(full_height),
+        ],
+        axis=-1,
+    )
+    cam_local = jnp.concatenate([pix, jnp.broadcast_to(z_cam, pix[..., :1].shape)], -1)
+    new_dir = normalize(normalize(cam_local) @ params.cam_transform.T)
+    s = dict(s)
+    s["p_org"] = _w3(can, jnp.broadcast_to(params.cam_pos, (n, 3)), s["p_org"])
+    s["p_dir"] = _w3(can, new_dir, s["p_dir"])
+    s["throughput"] = _w3(can, jnp.ones((n, 3), f32), s["throughput"])
+    s["L"] = _w3(can, jnp.zeros((n, 3), f32), s["L"])
+    s["pending"] = _w3(can, jnp.zeros((n, 3), f32), s["pending"])
+    s["n_paths"] = jnp.where(can, 0, s["n_paths"])
+    s["last_f_p"] = jnp.where(can, 0.0, s["last_f_p"])
+    s["free"] = jnp.where(can, True, s["free"])
+    s["mode"] = jnp.where(can, MODE_EXTEND, mode)
+    s["seed"] = seed
+    # fresh rays march only after their setup below
+    s["event"] = jnp.where(can, EV_NONE, s["event"])
+    no_march_yet = can
+
+    # ---------------- K DDA micro-steps ----------------
+    for _ in range(k_march):
+        masked = dict(s)
+        # exclude fresh lanes from marching this step (their ray is set up
+        # at the end of the body)
+        masked["mode"] = jnp.where(no_march_yet, MODE_REGEN, s["mode"])
+        stepped = _march_once(masked, scene, params, cfg)
+        keep = no_march_yet
+        for key in ("event", "seed", "t", "tau", "mip"):
+            s[key] = jnp.where(keep, s[key], stepped[key])
+        s["L"] = _w3(keep, s["L"], stepped["L"])
+
+    mode, event, seed = s["mode"], s["event"], s["seed"]
+    throughput, le, pending = s["throughput"], s["L"], s["pending"]
+    n_paths, last_f_p, free = s["n_paths"], s["last_f_p"], s["free"]
+    p_org, p_dir, t = s["p_org"], s["p_dir"], s["t"]
+
+    # ---------------- EXTEND collision -> NEE setup ----------------
+    ext_hit = event == EV_EXT_HIT
+    if cfg.use_tf:
+        from .grid import lookup_density_trilinear
+        from .transfer import tf_lookup
+
+        pos_hit = s["ipos0"] + t[..., None] * s["idir"]
+        d_raw = lookup_density_trilinear(scene.density, pos_hit, params.density_scale)
+        rgba = tf_lookup(scene.tf, d_raw * params.inv_majorant)
+        mult = params.albedo * rgba[..., :3]
+    else:
+        mult = jnp.broadcast_to(params.albedo, (n, 3))
+    throughput = _w3(ext_hit, throughput * mult, throughput)
+    p_org = _w3(ext_hit, p_org + t[..., None] * p_dir, p_org)
+    n_paths = n_paths + ext_hit.astype(i32)
+
+    seed, u2n = _rng.rng2_masked(seed, ext_hit)
+    uv_xn, uv_yn, pdf_nee, w_i = sample_environment_alias(scene.env, u2n)
+    f_p_nee = phase_henyey_greenstein(jnp.sum(-p_dir * w_i, axis=-1), params.phase_g)
+    mis_nee = jnp.where(
+        params.show_environment > 0,
+        (pdf_nee * pdf_nee) / jnp.maximum(pdf_nee * pdf_nee + f_p_nee * f_p_nee, 1e-32),
+        1.0,
+    )
+    has_nee = ext_hit & (pdf_nee > 0.0)
+
+    # ---------------- SHADOW completion ----------------
+    sh_hit = event == EV_SH_HIT
+    # reference consumes one RR draw when zeroing Tr (common.glsl:445-449)
+    seed, _u_rr_sh = _rng.rng_masked(seed, sh_hit)
+    sh_vis = event == EV_SH_EXIT
+    le = le + _w3(sh_vis, pending, jnp.zeros((n, 3), f32))
+
+    # ---------------- merged environment fetch ----------------
+    esc = event == EV_EXT_EXIT
+    uv_xe, uv_ye = _dir_to_uv(scene.env.inv_transform, p_dir)
+    uv_x = jnp.where(has_nee, uv_xn, uv_xe)
+    uv_y = jnp.where(has_nee, uv_yn, uv_ye)
+    le_fetch = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)
+
+    pending_new = (
+        throughput
+        * (mis_nee * f_p_nee / jnp.maximum(pdf_nee, 1e-20))[..., None]
+        * le_fetch
+    )
+    pending = _w3(has_nee, pending_new, pending)
+
+    # escape: add environment with MIS (common.glsl:645-649)
+    avg_w = scene.env.imp_mips[-1].reshape(())
+    pdf_esc = luma(le_fetch) / avg_w * INV_4PI
+    a2 = last_f_p * last_f_p
+    mis_esc = jnp.where(n_paths > 0, a2 / jnp.maximum(a2 + pdf_esc * pdf_esc, 1e-32), 1.0)
+    add_env = esc & free & (params.show_environment > 0)
+    le = le + _w3(add_env, throughput * mis_esc[..., None] * le_fetch, jnp.zeros((n, 3), f32))
+
+    # ---------------- scatter (shadow finished or NEE skipped) ----------------
+    scatter = sh_hit | sh_vis | (ext_hit & ~has_nee)
+    capped = scatter & (n_paths >= params.bounces)
+    alive = scatter & ~capped
+    rr_val = luma(throughput)
+    rr = alive & (rr_val < 0.1)
+    seed, u_rr = _rng.rng_masked(seed, rr)
+    killed = rr & (u_rr < 1.0 - rr_val)
+    throughput = _w3(rr & ~killed, throughput / jnp.maximum(rr_val, 1e-20)[..., None], throughput)
+    alive = alive & ~killed
+    free = jnp.where(capped | killed, False, free)
+
+    seed, u2s = _rng.rng2_masked(seed, alive)
+    sc_dir = sample_phase_henyey_greenstein(p_dir, params.phase_g, u2s)
+    f_p_sc = phase_henyey_greenstein(jnp.sum(-p_dir * sc_dir, axis=-1), params.phase_g)
+    last_f_p = jnp.where(alive, f_p_sc, last_f_p)
+    p_dir = _w3(alive, sc_dir, p_dir)
+
+    # ---------------- path end -> accumulate + REGEN ----------------
+    end = esc | capped | killed
+    alpha = jnp.clip(n_paths.astype(f32), 0.0, 1.0)
+    sample_rgba = sanitize(jnp.concatenate([le, alpha[..., None]], axis=-1))
+    accum = s["accum"] + jnp.where(end[..., None], sample_rgba, 0.0)
+    spp_done = spp_done + end.astype(i32)
+    mode = s["mode"]
+    mode = jnp.where(
+        end,
+        MODE_REGEN,
+        jnp.where(alive, MODE_EXTEND, jnp.where(has_nee, MODE_SHADOW, mode)),
+    )
+
+    # ---------------- march setup (regen / shadow / scattered) ----------------
+    setup = can | has_nee | alive
+    m_dir = _w3(has_nee, w_i, p_dir)
+    hit_box, near, far_new = intersect_box(p_org, m_dir, params.bb_min, params.bb_max)
+    inv_t = scene.density.inv_transform
+    ipos0_new = transform_point(inv_t, p_org)
+    idir_new = transform_vector(inv_t, m_dir)
+    seed, u_tau0 = _rng.rng_masked(seed, setup & hit_box)
+
+    s["mode"] = mode
+    s["event"] = jnp.where(event != EV_NONE, EV_NONE, s["event"])
+    s["seed"] = seed
+    s["p_org"] = p_org
+    s["p_dir"] = p_dir
+    s["throughput"] = throughput
+    s["L"] = _w3(end, jnp.zeros((n, 3), f32), le)
+    s["pending"] = pending
+    s["n_paths"] = n_paths
+    s["last_f_p"] = last_f_p
+    s["free"] = free
+    s["accum"] = accum
+    s["spp_done"] = spp_done
+    s["t"] = jnp.where(setup, near + 1e-6, s["t"])
+    s["far"] = jnp.where(setup, jnp.where(hit_box, far_new, 0.0), s["far"])
+    s["tau"] = jnp.where(setup, -jnp.log(1.0 - u_tau0), s["tau"])
+    s["mip"] = jnp.where(setup, MIP_START, s["mip"])
+    s["ipos0"] = _w3(setup, ipos0_new, s["ipos0"])
+    s["idir"] = _w3(setup, idir_new, s["idir"])
+    s["ri"] = _w3(setup, 1.0 / idir_new, s["ri"])
+    return s
+
+
+# NOTE: no donate_argnames — donating this state pytree trips an
+# INVALID_ARGUMENT in the axon TPU runtime; without donation the allocator
+# recycles the freed buffers anyway (bandwidth is identical).
+@partial(jax.jit, static_argnames=("cfg", "width", "full_height", "k_march"))
+def wavefront_step(state, scene, params, cfg, width, spp, spp_base, row0, full_height, k_march=DEFAULT_K_MARCH):
+    return wavefront_step_body(
+        state, scene, params, cfg, width, spp, spp_base, row0, full_height, k_march
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "width", "full_height", "k_march", "n_steps"),
+)
+def wavefront_steps(
+    state,
+    scene,
+    params,
+    cfg,
+    width,
+    spp,
+    spp_base,
+    row0,
+    full_height,
+    k_march=DEFAULT_K_MARCH,
+    n_steps=8,
+):
+    """n_steps chained wavefront steps in ONE dispatch. Python-unrolled (not
+    lax control flow) on purpose: device-loop bodies get the scalarized
+    gather lowering, straight-line graphs keep the fast vectorized gathers,
+    and one dispatch amortizes the per-execute overhead of the tunneled
+    runtime (~2-8 ms/call)."""
+    for _ in range(n_steps):
+        state = wavefront_step_body(
+            state, scene, params, cfg, width, spp, spp_base, row0, full_height, k_march
+        )
+    return state
+
+
+@partial(jax.jit, static_argnames=())
+def _any_active(mode):
+    return (mode != MODE_INACTIVE).any()
+
+
+def render_wavefront_host(
+    scene,
+    params,
+    cfg,
+    width,
+    height,
+    spp,
+    spp_base,
+    row0=0,
+    full_height=None,
+    k_march=DEFAULT_K_MARCH,
+    steps_per_launch=None,
+    check_every=3,
+):
+    """Host-stepped wavefront render (the fast path). Returns the
+    (height, width, 4) SUM of spp per-sample (L, alpha) values."""
+    full_height = height if full_height is None else full_height
+    if steps_per_launch is None:
+        # deep chaining amortizes dispatch overhead on the tunneled TPU but
+        # multiplies (slow) CPU compile time; keep CPU graphs small
+        steps_per_launch = 8 if jax.default_backend() == "tpu" else 1
+    state = init_state(width, height)
+    spp = jnp.asarray(spp, jnp.int32)
+    spp_base = jnp.asarray(spp_base, jnp.int32)
+    row0 = jnp.asarray(row0, jnp.int32)
+    while True:
+        for _ in range(check_every):
+            state = wavefront_steps(
+                state,
+                scene,
+                params,
+                cfg,
+                width,
+                spp,
+                spp_base,
+                row0,
+                full_height,
+                k_march,
+                steps_per_launch,
+            )
+        if not bool(_any_active(state["mode"])):
+            break
+    return state["accum"].reshape(height, width, 4)
+
+
+# ----------------------------------------------------------------------------
+# fully-device variant (for shard_map / compile checks / tests)
+# ----------------------------------------------------------------------------
+
+
+def render_wavefront_tile(
+    scene, params, cfg, width, height, spp, spp_base, row0, full_height
+):
+    """Render a tile entirely inside one jit: lax.while_loop over the same
+    step body (slower per-gather than the host-stepped driver; used where
+    everything must live in a single computation, e.g. shard_map).
+    Returns ((height, width, 4) sample SUM, iteration count)."""
+
+    def cond(c):
+        s, it = c
+        return ((s["mode"] != MODE_INACTIVE).any()) & (it < jnp.int32(2_000_000_000))
+
+    def body(c):
+        s, it = c
+        s = wavefront_step_body(
+            s, scene, params, cfg, width, spp, spp_base, row0, full_height, 1
+        )
+        return s, it + 1
+
+    state = init_state(width, height)
+    state, it = lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return state["accum"].reshape(height, width, 4), it
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def render_wavefront(scene, params, cfg, width, height, spp, spp_base):
+    """Single-jit full-frame render: SUM of spp samples, (H, W, 4)."""
+    acc, _it = render_wavefront_tile(
+        scene, params, cfg, width, height, spp, spp_base, jnp.int32(0), full_height=height
+    )
+    return acc
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "height"))
+def render_wavefront_stats(scene, params, cfg, width, height, spp, spp_base):
+    """render_wavefront + device-loop iteration count (perf diagnosis)."""
+    return render_wavefront_tile(
+        scene, params, cfg, width, height, spp, spp_base, jnp.int32(0), full_height=height
+    )

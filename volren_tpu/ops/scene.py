@@ -33,6 +33,11 @@ class EnvDevice(NamedTuple):
     transform: jnp.ndarray  # (3, 3)
     inv_transform: jnp.ndarray  # (3, 3)
     strength: jnp.ndarray  # () float32
+    # O(1) texel sampling (Vose alias table over imp_mips[0]); draws the
+    # exact same texel distribution as the hierarchical mip warp — the warp's
+    # box-filtered pyramid telescopes to P(texel) = w / (N * avg)
+    alias_prob: jnp.ndarray  # (D*D,) float32 probability to keep own texel
+    alias_idx: jnp.ndarray  # (D*D,) int32 alias texel
 
 
 class TFDevice(NamedTuple):
@@ -98,7 +103,30 @@ def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:
     )
 
 
+def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vose's alias method over flat nonnegative weights."""
+    w = np.asarray(weights, np.float64).reshape(-1)
+    n = w.size
+    total = w.sum()
+    if total <= 0.0:
+        return np.ones(n, np.float32), np.arange(n, dtype=np.int32)
+    p = w * (n / total)
+    prob = np.ones(n, np.float64)
+    alias = np.arange(n, dtype=np.int32)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s = small.pop()
+        l = large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = (p[l] + p[s]) - 1.0
+        (small if p[l] < 1.0 else large).append(l)
+    return prob.astype(np.float32), alias
+
+
 def upload_environment(env) -> EnvDevice:
+    prob, alias = build_alias_table(env.impmap_mips[0])
     return EnvDevice(
         envmap=jnp.asarray(env.envmap),
         imp_mips=tuple(jnp.asarray(m) for m in env.impmap_mips),
@@ -107,6 +135,8 @@ def upload_environment(env) -> EnvDevice:
             np.linalg.inv(np.asarray(env.transform, np.float64)).astype(np.float32)
         ),
         strength=jnp.asarray(np.float32(env.strength)),
+        alias_prob=jnp.asarray(prob),
+        alias_idx=jnp.asarray(alias),
     )
 
 

@@ -23,6 +23,7 @@ from .ops import scene as dscene
 from .ops import tonemap as _tonemap
 from .ops.scene import SceneDevice, TraceConfig, TraceParams
 from .ops.tracer import trace_pass
+from .ops.megakernel import render_wavefront_host
 from .utils.image import save_ldr
 
 EMISSION_GRID_NAMES = ("flame", "flames", "temperature")  # renderer.cpp:65
@@ -61,6 +62,11 @@ class Renderer:
         self._env_device = None
         self._tf_device = None
         self._use_dda = True
+        # "wavefront": flat state-machine megakernel with sample regeneration
+        # (the TPU performance path); "oracle": literal port of the GLSL
+        # nested-loop structure (slow, used for cross-validation)
+        self.engine = "wavefront"
+        self.max_spp_per_launch = 16
 
     # ---- lifecycle (RendererOpenGL::init/resize/commit/trace/draw/reset) ----
 
@@ -166,27 +172,47 @@ class Renderer:
 
     # ---- rendering ----
 
-    def trace(self):
-        """One progressive sample over the whole frame (+1 spp,
-        renderer.cpp:78-145)."""
+    def trace(self, spp: int = 1):
+        """Advance the progressive accumulation by ``spp`` samples
+        (renderer.cpp:78-145; one GL dispatch = spp=1)."""
         if not self._density_grids:
             self.commit()
-        self.sample += 1
-        self._fb = trace_pass(
-            self._scene_device(),
-            self._trace_params(),
-            self._config(),
-            self._fb,
-            jnp.asarray(np.int32(self.sample)),
-            self._width,
-            self._height,
-        )
+        if self.engine == "wavefront":
+            if not self._use_dda:
+                raise NotImplementedError(
+                    "the wavefront engine is DDA-only; use engine='oracle' "
+                    "for the global-majorant estimators"
+                )
+            accum = render_wavefront_host(
+                self._scene_device(),
+                self._trace_params(),
+                self._config(),
+                self._width,
+                self._height,
+                int(spp),
+                self.sample,
+            )
+            prev = self.sample
+            self.sample += int(spp)
+            self._fb = (self._fb * prev + accum) / self.sample
+        else:
+            for _ in range(int(spp)):
+                self.sample += 1
+                self._fb = trace_pass(
+                    self._scene_device(),
+                    self._trace_params(),
+                    self._config(),
+                    self._fb,
+                    jnp.asarray(np.int32(self.sample)),
+                    self._width,
+                    self._height,
+                )
 
     def render(self, spp: int):
         """Render spp samples from scratch (bindings.cpp:124-132)."""
         self.sample = 0
-        for _ in range(int(spp)):
-            self.trace()
+        self._fb = jnp.zeros_like(self._fb)
+        self.trace(spp=int(spp))
         jax.block_until_ready(self._fb)
 
     def draw(self) -> np.ndarray:

@@ -77,9 +77,9 @@ def get_colormap(name: str):
     if key == "github":
         return _table_cmap(_GITHUB)
     if key in _MPL_NAMES:
-        import matplotlib.cm as cm
+        import matplotlib
 
-        mpl_map = cm.get_cmap(_MPL_NAMES[key])
+        mpl_map = matplotlib.colormaps[_MPL_NAMES[key]]
 
         def f(t):
             return mpl_map(np.clip(np.asarray(t, np.float32), 0, 1))[..., :3].astype(np.float32)
