@@ -1,0 +1,154 @@
+"""Denoising dataset generator.
+
+Port of the reference scripts/datagen_denoise.py (runs inside volren via
+the embedded interpreter there; here it's a normal script on top of the
+volpy shim). Renders N_IMAGES randomized scenes twice — noisy (1-32 spp)
+and converged (4096 spp) — into two HDF5 files with dataset 'color' of
+shape (N, 3, H, W) float16, matching the reference's output contract
+(datagen_denoise.py:49-52,113-121).
+
+Settings are edited in-file, like the reference (README.md:86); env vars
+DATAGEN_* override for automation.
+"""
+
+import math
+import os
+import random
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import volren_tpu.volpy as volpy
+
+ROOT_DIR = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# settings (reference datagen_denoise.py:13-20)
+N_IMAGES = int(os.environ.get("DATAGEN_N_IMAGES", 256))
+N_SAMPLES_TARGET = int(os.environ.get("DATAGEN_SPP_TARGET", 1 << 12))
+SEED = 42
+H5_NAME = os.environ.get("DATAGEN_H5_NAME", "dataset")
+VOLPATH = os.environ.get("DATAGEN_VOLPATH", "/root/reference/data")
+ENVPATH = os.environ.get("DATAGEN_ENVPATH", "/root/reference/data")
+RESOLUTION = int(os.environ.get("DATAGEN_RES", 1024))
+ENABLE_RANDOM_TRANSFERFUNC = os.environ.get("DATAGEN_RANDOM_TF", "0") == "1"
+
+
+def glob_directory(root, ext=".hdr"):
+    entries = []
+    for dirname, _, files in os.walk(root):
+        for fname in files:
+            if os.path.splitext(fname)[1] == ext:
+                entries.append(os.path.join(dirname, fname))
+    return sorted(entries)
+
+
+def uniform_sample_sphere():
+    z = 1.0 - 2.0 * random.random()
+    r = math.sqrt(max(0.0, 1.0 - z * z))
+    phi = 2.0 * math.pi * random.random()
+    return np.array([r * math.cos(phi), r * math.sin(phi), z], np.float32)
+
+
+def randomize_parameters(volumes, envmaps):
+    """Parameter ranges from the reference (datagen_denoise.py:60-80)."""
+    return {
+        "samples": random.randint(1, 32 + 1),
+        "max_bounces": random.randint(1, 128 + 1),
+        "seed_input": random.randint(0, 2**31),
+        "seed_target": random.randint(0, 2**31),
+        "env_path": random.choice(envmaps),
+        "env_strength": 0.5 + random.random() * 10,
+        "env_show": random.random() < 0.1,
+        "lut_n_bins": random.randint(2, 32 + 1),
+        "lut_window_left": random.random() * 0.25,
+        "lut_window_width": random.random(),
+        "vol_path": random.choice(volumes),
+        "vol_albedo": np.array(
+            [random.random(), random.random(), random.random()], np.float32
+        ),
+        "vol_phase": -0.9 + (random.random() * 1.8),
+        "vol_density_scale": 0.01 + random.random() * 5,
+        "cam_pos_sample": uniform_sample_sphere(),
+        "cam_dir_sample": uniform_sample_sphere(),
+        "cam_fov": 25 + (random.random() * 70),
+    }
+
+
+def fbo_to_dataset(fbo):
+    """(H, W, 3) float framebuffer -> (3, H, W) float16, image row order."""
+    return np.transpose(np.flip(fbo, axis=0).astype(np.float16), (2, 0, 1))
+
+
+def main():
+    import h5py
+
+    renderer = volpy.Renderer()
+    renderer.init(RESOLUTION, RESOLUTION)
+    random.seed(SEED)
+
+    volumes = glob_directory(VOLPATH, ".brick") + glob_directory(VOLPATH, ".vdb")
+    envmaps = glob_directory(ENVPATH, ".hdr")
+    print("#volumes:", len(volumes))
+    print("#envmaps:", len(envmaps))
+    if not volumes or not envmaps:
+        raise SystemExit("no volumes or envmaps found")
+
+    size = renderer.resolution()
+    h, w = int(size.y), int(size.x)
+    file_input = h5py.File(H5_NAME + "_input.h5", "w")
+    dataset_input = file_input.create_dataset(
+        "color", shape=(N_IMAGES, 3, h, w), dtype=np.float16
+    )
+    file_target = h5py.File(H5_NAME + "_target.h5", "w")
+    dataset_target = file_target.create_dataset(
+        "color", shape=(N_IMAGES, 3, h, w), dtype=np.float16
+    )
+
+    for i in range(N_IMAGES):
+        params = randomize_parameters(volumes, envmaps)
+        print(f"rendering {i + 1}/{N_IMAGES}..")
+        renderer.volume = volpy.Volume(params["vol_path"])
+        renderer.commit()
+        renderer.albedo = params["vol_albedo"]
+        renderer.phase = params["vol_phase"]
+        renderer.density_scale = params["vol_density_scale"]
+        env = volpy.Environment(params["env_path"])
+        env.strength = params["env_strength"]
+        renderer.environment = env
+        renderer.show_environment = params["env_show"]
+        if ENABLE_RANDOM_TRANSFERFUNC:
+            tf = volpy.TransferFunction()
+            tf.randomize(params["lut_n_bins"])
+            tf.window_left = params["lut_window_left"]
+            tf.window_width = params["lut_window_width"]
+            renderer.transferfunc = tf
+        else:
+            renderer.transferfunc = None
+        # camera on the volume's bounding sphere
+        bb_min, bb_max = renderer.volume.AABB("density")
+        bb_min, bb_max = np.asarray(bb_min), np.asarray(bb_max)
+        center = bb_min + (bb_max - bb_min) * 0.5
+        radius = float(np.linalg.norm(bb_max - center))
+        renderer.cam_pos = center + params["cam_pos_sample"] * radius
+        d = center + params["cam_dir_sample"] * radius * 0.1 - np.asarray(renderer.cam_pos)
+        renderer.cam_dir = d / np.linalg.norm(d)
+        renderer.cam_fov = params["cam_fov"]
+        # noisy
+        renderer.seed = params["seed_input"]
+        renderer.bounces = params["max_bounces"]
+        renderer.render(params["samples"])
+        dataset_input[i] = fbo_to_dataset(renderer.fbo_data())
+        # converged
+        renderer.seed = params["seed_target"]
+        renderer.render(N_SAMPLES_TARGET)
+        dataset_target[i] = fbo_to_dataset(renderer.fbo_data())
+
+    file_input.close()
+    file_target.close()
+    print(f"{H5_NAME}_input.h5 / {H5_NAME}_target.h5 written.")
+
+
+if __name__ == "__main__":
+    main()

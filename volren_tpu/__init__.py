@@ -21,6 +21,14 @@ if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
     _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
     _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
+# VOLREN_PLATFORM=cpu|tpu forces the JAX backend. Needed because the host
+# environment's site hook imports jax before user code runs, so the usual
+# JAX_PLATFORMS env var is already baked by the time this package loads.
+if _os.environ.get("VOLREN_PLATFORM"):
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["VOLREN_PLATFORM"])
+
 from . import voldata  # noqa: F401
 
 __all__ = ["voldata"]
