@@ -117,15 +117,16 @@ def sample_environment_alias(env: EnvDevice, u2):
     (uv_x, uv_y, pdf, w_i) — radiance lookup left to the caller so it can be
     batched with other envmap fetches.
     """
-    base = env.imp_mips[0]
-    dim = base.shape[0]
+    dim = env.imp_mips[0].shape[0]
     n = dim * dim
     scaled = u2[..., 0] * n
     j = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
     frac_x = scaled - j.astype(jnp.float32)
-    prob = env.alias_prob.at[j].get(mode="promise_in_bounds")
+    row = env.alias_packed.at[j].get(mode="promise_in_bounds")  # single gather
+    prob = row[..., 0]
     keep = u2[..., 1] < prob
-    texel = jnp.where(keep, j, env.alias_idx.at[j].get(mode="promise_in_bounds"))
+    texel = jnp.where(keep, j, row[..., 1].astype(jnp.int32))
+    pdf = jnp.where(keep, row[..., 2], row[..., 3])
     # conditional rescale keeps the second uniform usable as in-texel jitter
     frac_y = jnp.where(
         keep,
@@ -144,9 +145,7 @@ def sample_environment_alias(env: EnvDevice, u2):
         [sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1
     )
     w_i = w_local @ env.transform.T
-    avg_w = env.imp_mips[-1].reshape(())
-    pdf = base.reshape(-1).at[texel].get(mode="promise_in_bounds") / avg_w
-    return uv_x, uv_y, pdf * INV_4PI, w_i
+    return uv_x, uv_y, pdf, w_i
 
 
 def pdf_environment(env: EnvDevice, direction):

@@ -6,6 +6,11 @@ lookups, and the emission (blackbody-ish) lookup. All lookups clamp their
 integer coordinates into the padded brick extent — out-of-range bricks
 resolve through their (0, 0) range to zero density, matching the GL
 border/clamp behaviour for rays inside the AABB.
+
+Gather budget matters more than arithmetic on TPU (random gathers cost per
+OP, not per byte): a voxel decode is exactly TWO gathers (one wide
+brick_meta row [slot, min, max] + one atlas byte), and a majorant lookup at
+any mip is ONE gather from the packed pyramid.
 """
 
 from __future__ import annotations
@@ -20,9 +25,16 @@ def _gather(flat, idx):
     return flat.at[idx].get(mode="promise_in_bounds")
 
 
-def _brick_dims(grid: GridDevice):
-    bz, by, bx = grid.indirection.shape
-    return bx, by, bz
+def _brick_index(grid: GridDevice, ipos):
+    """Clamped flat brick index + voxel offsets for integer positions."""
+    bx, by, bz = grid.n_bricks
+    iipos = jnp.floor(ipos).astype(jnp.int32)
+    vx = jnp.clip(iipos[..., 0], 0, bx * 8 - 1)
+    vy = jnp.clip(iipos[..., 1], 0, by * 8 - 1)
+    vz = jnp.clip(iipos[..., 2], 0, bz * 8 - 1)
+    bidx = (vz >> 3) * (by * bx) + (vy >> 3) * bx + (vx >> 3)
+    voff = (vz & 7) * 64 + (vy & 7) * 8 + (vx & 7)
+    return bidx, voff
 
 
 def lookup_density_brick(grid: GridDevice, ipos):
@@ -30,36 +42,31 @@ def lookup_density_brick(grid: GridDevice, ipos):
 
     ipos: (N, 3) float32 index-space positions.
     """
-    bx, by, bz = _brick_dims(grid)
-    iipos = jnp.floor(ipos).astype(jnp.int32)
-    vx = jnp.clip(iipos[..., 0], 0, bx * 8 - 1)
-    vy = jnp.clip(iipos[..., 1], 0, by * 8 - 1)
-    vz = jnp.clip(iipos[..., 2], 0, bz * 8 - 1)
-    bidx = (vz >> 3) * (by * bx) + (vy >> 3) * bx + (vx >> 3)
-    slot = _gather(grid.indirection.reshape(-1), bidx)
-    rng_flat = grid.range_minmax.reshape(-1, 2)
-    rminmax = _gather(rng_flat, bidx)
-    aidx = slot * 512 + (vz & 7) * 64 + (vy & 7) * 8 + (vx & 7)
-    unorm = _gather(grid.atlas.reshape(-1), aidx).astype(jnp.float32) * (1.0 / 255.0)
-    return rminmax[..., 0] + unorm * (rminmax[..., 1] - rminmax[..., 0])
+    bidx, voff = _brick_index(grid, ipos)
+    meta = _gather(grid.brick_meta.reshape(-1, 3), bidx)
+    slot = meta[..., 0].astype(jnp.int32)
+    unorm = _gather(grid.atlas.reshape(-1), slot * 512 + voff).astype(jnp.float32) * (
+        1.0 / 255.0
+    )
+    return meta[..., 1] + unorm * (meta[..., 2] - meta[..., 1])
 
 
 def lookup_majorant(grid: GridDevice, ipos, mip, density_scale):
-    """Per-region majorant from the min/max pyramid (common.glsl:278-281).
-
-    mip: (N,) int32 in [0, 3]; 0 reads the base range buffer.
-    """
-    levels = (grid.range_minmax,) + grid.mips
+    """Per-region majorant from the packed min/max pyramid
+    (common.glsl:278-281). mip: (N,) int32 in [0, 3]; 0 reads the per-brick
+    range max. ONE gather regardless of mip."""
     iipos = jnp.floor(ipos).astype(jnp.int32)
-    out = jnp.zeros(ipos.shape[:-1], jnp.float32)
-    for m, level in enumerate(levels):
-        mz, my, mx = level.shape[:3]
+    dims = grid.mip_dims
+    offs = grid.mip_offsets
+    idx = jnp.zeros(ipos.shape[:-1], jnp.int32)
+    for m in range(4):
+        mz, my, mx = dims[m]
         bxm = jnp.clip(iipos[..., 0] >> (3 + m), 0, mx - 1)
         bym = jnp.clip(iipos[..., 1] >> (3 + m), 0, my - 1)
         bzm = jnp.clip(iipos[..., 2] >> (3 + m), 0, mz - 1)
-        val = _gather(level.reshape(-1, 2), (bzm * my + bym) * mx + bxm)[..., 1]
-        out = jnp.where(mip == m, val, out)
-    return density_scale * out
+        idx_m = offs[m] + (bzm * my + bym) * mx + bxm
+        idx = jnp.where(mip == m, idx_m, idx)
+    return density_scale * _gather(grid.mip_maj, idx)
 
 
 def lookup_density(grid: GridDevice, ipos, density_scale):

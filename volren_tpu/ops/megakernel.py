@@ -10,24 +10,30 @@ This module flattens the whole renderer into a per-lane state machine with
 sample regeneration:
 
   lane = pixel. modes: INACTIVE, REGEN, EXTEND (path-ray DDA march),
-  SHADOW (NEE shadow-ray DDA march).
+  SHADOW (NEE shadow-ray DDA march). Events mark collisions/exits pending
+  resolution.
 
-  Each step every lane advances K DDA micro-steps (collision tests
-  inline), then pending events are resolved once: NEE setup (O(1)
-  alias-table environment sample instead of the 9-level mip warp), shadow
-  completion, scatter, path termination, sample regeneration. Finished
-  paths immediately start the pixel's next sample, so utilization stays
-  high until the global tail.
+A render step is FOUR SEPARATE jitted phase programs dispatched from the
+host:
 
-Two drivers share the same step body:
-  * render_wavefront_host — HOST-stepped loop over a donated device state.
-    This is the fast path: XLA lowers gathers inside device-side
-    while_loops to a scalarized serial path (~40-70x slower than the
-    standalone vectorized gather kernels, measured on v5e), so the loop
-    lives on the host and every step is one jitted call whose gathers hit
-    the fast path. State buffers are donated, so there is no copy traffic.
-  * render_wavefront_tile — the same body inside lax.while_loop, used
-    where everything must stay in one jit (shard_map dry runs, tests).
+  phase_regen  — start the pixel's next sample (reference seeding
+                 tea(seed * pixel, sample), camera ray, fresh march state)
+  phase_march  — K DDA micro-steps with inline null-collision tests
+                 (one program, K statically unrolled)
+  phase_nee    — resolve path-ray collisions: throughput, O(1) alias-table
+                 environment sample (same texel distribution as the
+                 9-level mip warp), pending contribution, shadow-ray setup
+  phase_finish — shadow completion, escape radiance with MIS, bounce
+                 cap + Russian roulette, HG scatter, sample accumulation
+
+Why phases instead of one fused step: measured on the tunneled v5e
+runtime, each phase runs in ~0.1-0.2 ms and keeps the session healthy,
+while the same work fused into ONE program executes ~40x slower AND
+latches the whole process into a degraded ~5 ms/dispatch mode (the trigger
+correlates with large fused programs mixing many gathers with wide state;
+see PROGRESS notes). Host-side dispatch costs ~0.1 ms/call, so the split
+is strictly cheaper. Device-side while_loop variants additionally lower
+gathers to a scalarized path, which is why the loop lives on the host.
 
 Estimator semantics are identical to ops/tracking.py (the GLSL port),
 including the reference's transmittanceDDA binary-visibility behaviour and
@@ -65,14 +71,15 @@ MODE_REGEN = 1
 MODE_EXTEND = 2
 MODE_SHADOW = 3
 
-# event codes (pending, resolved once per step)
+# pending events, resolved by phase_nee / phase_finish
 EV_NONE = 0
 EV_EXT_HIT = 1  # real collision on the path ray
 EV_EXT_EXIT = 2  # path ray left the volume
 EV_SH_HIT = 3  # shadow ray occluded
 EV_SH_EXIT = 4  # shadow ray visible
+EV_SCATTER = 5  # NEE skipped (pdf <= 0); go straight to scatter
 
-DEFAULT_K_MARCH = 4
+DEFAULT_K_MARCH = 8
 
 
 def _w3(mask, a, b):
@@ -109,13 +116,42 @@ def _dir_to_uv(env_inv_transform, direction):
     return u, v
 
 
-def init_state(width: int, height: int):
-    """Fresh lane state for a width x height tile."""
+def _setup_ray(s, inv_transform, bb_min, bb_max, org, direction, mask):
+    """(Re)initialize march state for ``mask`` lanes: world-space slab test,
+    index-space ray, fresh optical depth (sample_volumeDDA entry,
+    common.glsl:460-468). Draws one uniform for tau on mask & hit lanes."""
+    hit_box, near, far_new = intersect_box(org, direction, bb_min, bb_max)
+    ipos0_new = transform_point(inv_transform, org)
+    idir_new = transform_vector(inv_transform, direction)
+    seed, u_tau = _rng.rng_masked(s["seed"], mask & hit_box)
+    s["seed"] = seed
+    s["t"] = jnp.where(mask, near + 1e-6, s["t"])
+    s["far"] = jnp.where(mask, jnp.where(hit_box, far_new, 0.0), s["far"])
+    s["tau"] = jnp.where(mask, -jnp.log(1.0 - u_tau), s["tau"])
+    s["mip"] = jnp.where(mask, MIP_START, s["mip"])
+    s["ipos0"] = _w3(mask, ipos0_new, s["ipos0"])
+    s["idir"] = _w3(mask, idir_new, s["idir"])
+    s["ri"] = _w3(mask, 1.0 / idir_new, s["ri"])
+    return s
+
+
+def init_state(width: int, height: int, row0: int = 0):
+    """Fresh lane state for a width x height tile.
+
+    Pixel coordinates are precomputed here (eagerly) and carried in the
+    state ON PURPOSE: computing them in a phase body constant-folds into
+    large array literals, and big embedded literals degrade this runtime.
+    """
     n = width * height
     f32, i32 = jnp.float32, jnp.int32
     zeros = jnp.zeros((n,), f32)
     zeros3 = jnp.zeros((n, 3), f32)
+    lane_local = jnp.arange(n, dtype=jnp.int32)
+    px = lane_local % width
+    py = lane_local // width + row0
     return {
+        "px": px,
+        "py": py,
         "mode": jnp.full((n,), MODE_REGEN, i32),
         "event": jnp.zeros((n,), i32),
         "seed": jnp.zeros((n,), jnp.uint32),
@@ -139,104 +175,31 @@ def init_state(width: int, height: int):
     }
 
 
-def _march_once(s, scene, params, cfg):
-    """One DDA micro-step for lanes in EXTEND/SHADOW with no pending event.
-    Detects collisions; real collisions / exits become pending events."""
-    mode, event, seed = s["mode"], s["event"], s["seed"]
-    t, far, tau, mip = s["t"], s["far"], s["tau"], s["mip"]
-    ipos0, idir, ri = s["ipos0"], s["idir"], s["ri"]
-    grid = scene.density
-    f32, i32 = jnp.float32, jnp.int32
-
-    march = ((mode == MODE_EXTEND) | (mode == MODE_SHADOW)) & (event == EV_NONE)
-    is_extend = mode == MODE_EXTEND
-
-    curr = ipos0 + t[..., None] * idir
-    mip_i = jnp.round(mip).astype(i32)
-    maj = lookup_majorant(grid, curr, mip_i, params.density_scale)
-    if cfg.use_tf:
-        from .transfer import tf_lookup
-
-        maj = params.majorant * tf_lookup(scene.tf, maj * params.inv_majorant)[..., 3]
-    dim = (8 << mip_i).astype(f32)[..., None]
-    offs = jnp.where(ri >= 0.0, dim + 0.5, -0.5)
-    dt = ((jnp.floor(curr / dim) * dim + offs - curr) * ri).min(axis=-1)
-    t_adv = t + dt
-    tau_adv = tau - maj * dt
-    mip_up = jnp.minimum(mip + MIP_SPEED_UP, 3.0)
-
-    collide = march & (tau_adv <= 0.0)
-    t = jnp.where(
-        march,
-        jnp.where(collide, t_adv + tau_adv / jnp.maximum(maj, 1e-20), t_adv),
-        t,
-    )
-    exited = march & (t >= far)
-    test = collide & ~exited
-
-    pos_col = ipos0 + t[..., None] * idir
-    d, _rgba, seed = _density_at(scene, params, cfg, pos_col, seed, test)
-    le, seed = _add_emission(
-        scene,
-        params,
-        cfg,
-        pos_col,
-        d * params.inv_majorant,
-        s["throughput"],
-        s["L"],
-        seed,
-        test & is_extend,
-    )
-    seed, u_cls = _rng.rng_masked(seed, test)
-    real = test & (u_cls * jnp.maximum(maj, 0.0) < d)
-
-    # null collisions: redraw tau, drop mips, keep marching
-    redraw = test & ~real
-    seed, u_tau = _rng.rng_masked(seed, redraw)
-    tau = jnp.where(redraw, -jnp.log(1.0 - u_tau), jnp.where(march, tau_adv, tau))
-    mip = jnp.where(
-        redraw,
-        jnp.maximum(0.0, mip_up - MIP_SPEED_DOWN),
-        jnp.where(march, mip_up, mip),
-    )
-
-    event = jnp.where(
-        real & is_extend,
-        EV_EXT_HIT,
-        jnp.where(
-            real & ~is_extend,
-            EV_SH_HIT,
-            jnp.where(
-                exited, jnp.where(is_extend, EV_EXT_EXIT, EV_SH_EXIT), event
-            ),
-        ),
-    )
-
-    s = dict(s)
-    s.update(event=event, seed=seed, t=t, tau=tau, mip=mip, L=le)
-    return s
+# ----------------------------------------------------------------------------
+# phase bodies (pure; the @jax.jit wrappers follow)
+# ----------------------------------------------------------------------------
 
 
-def wavefront_step_body(s, scene, params, cfg, width, spp, spp_base, row0, full_height, k_march):
-    """One wavefront step: REGEN + K march micro-steps + event resolution."""
-    f32, i32 = jnp.float32, jnp.int32
+def phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height):
+    """Start the next sample on REGEN lanes (pathtracer_brick.glsl:23-33):
+    per-(pixel, sample) TEA seed, jittered camera ray, fresh path + march
+    state. Exhausted lanes go INACTIVE."""
+    f32 = jnp.float32
     n = s["mode"].shape[0]
-    lane_local = jnp.arange(n, dtype=jnp.uint32)
-    px = (lane_local % jnp.uint32(width)).astype(i32)
-    py = (lane_local // jnp.uint32(width)).astype(i32) + row0
+    px, py = s["px"], s["py"]
     lane = py.astype(jnp.uint32) * jnp.uint32(width) + px.astype(jnp.uint32)
 
-    mode, seed = s["mode"], s["seed"]
-    spp_done = s["spp_done"]
-
-    # ---------------- REGEN: start the pixel's next sample ----------------
-    regen = mode == MODE_REGEN
-    can = regen & (spp_done < spp)
-    mode = jnp.where(regen & ~can, MODE_INACTIVE, mode)
-    sample_idx = (spp_base + spp_done + 1).astype(jnp.uint32)
+    regen = s["mode"] == MODE_REGEN
+    can = regen & (s["spp_done"] < spp)
+    s = dict(s)
+    s["mode"] = jnp.where(
+        regen & ~can, MODE_INACTIVE, jnp.where(can, MODE_EXTEND, s["mode"])
+    )
+    sample_idx = (spp_base + s["spp_done"] + 1).astype(jnp.uint32)
     fresh_seed = _rng.tea(params.seed * lane, sample_idx, 32)
-    seed = jnp.where(can, fresh_seed, seed)
-    seed, u2j = _rng.rng2_masked(seed, can)
+    s["seed"] = jnp.where(can, fresh_seed, s["seed"])
+    seed, u2j = _rng.rng2_masked(s["seed"], can)
+    s["seed"] = seed
     z_cam = -0.5 / jnp.tan(0.5 * M_PI * params.cam_fov / 180.0)
     pix = jnp.stack(
         [
@@ -247,7 +210,6 @@ def wavefront_step_body(s, scene, params, cfg, width, spp, spp_base, row0, full_
     )
     cam_local = jnp.concatenate([pix, jnp.broadcast_to(z_cam, pix[..., :1].shape)], -1)
     new_dir = normalize(normalize(cam_local) @ params.cam_transform.T)
-    s = dict(s)
     s["p_org"] = _w3(can, jnp.broadcast_to(params.cam_pos, (n, 3)), s["p_org"])
     s["p_dir"] = _w3(can, new_dir, s["p_dir"])
     s["throughput"] = _w3(can, jnp.ones((n, 3), f32), s["throughput"])
@@ -256,30 +218,102 @@ def wavefront_step_body(s, scene, params, cfg, width, spp, spp_base, row0, full_
     s["n_paths"] = jnp.where(can, 0, s["n_paths"])
     s["last_f_p"] = jnp.where(can, 0.0, s["last_f_p"])
     s["free"] = jnp.where(can, True, s["free"])
-    s["mode"] = jnp.where(can, MODE_EXTEND, mode)
-    s["seed"] = seed
-    # fresh rays march only after their setup below
     s["event"] = jnp.where(can, EV_NONE, s["event"])
-    no_march_yet = can
+    return _setup_ray(
+        s, scene.density.inv_transform, params.bb_min, params.bb_max,
+        s["p_org"], s["p_dir"], can,
+    )
 
-    # ---------------- K DDA micro-steps ----------------
+
+def phase_march_body(s, scene, params, cfg, k_march):
+    """K DDA micro-steps (sample_volumeDDA / transmittanceDDA march,
+    common.glsl:469-480): per step one majorant fetch + boundary step; on
+    tau crossings an inline density test classifies real/null collisions.
+    Real collisions and exits become pending events; lanes with a pending
+    event sit out the remaining unrolled steps."""
+    f32, i32 = jnp.float32, jnp.int32
+    grid = scene.density
+    s = dict(s)
     for _ in range(k_march):
-        masked = dict(s)
-        # exclude fresh lanes from marching this step (their ray is set up
-        # at the end of the body)
-        masked["mode"] = jnp.where(no_march_yet, MODE_REGEN, s["mode"])
-        stepped = _march_once(masked, scene, params, cfg)
-        keep = no_march_yet
-        for key in ("event", "seed", "t", "tau", "mip"):
-            s[key] = jnp.where(keep, s[key], stepped[key])
-        s["L"] = _w3(keep, s["L"], stepped["L"])
+        mode, event, seed = s["mode"], s["event"], s["seed"]
+        t, far, tau, mip = s["t"], s["far"], s["tau"], s["mip"]
+        ipos0, idir, ri = s["ipos0"], s["idir"], s["ri"]
 
-    mode, event, seed = s["mode"], s["event"], s["seed"]
-    throughput, le, pending = s["throughput"], s["L"], s["pending"]
-    n_paths, last_f_p, free = s["n_paths"], s["last_f_p"], s["free"]
-    p_org, p_dir, t = s["p_org"], s["p_dir"], s["t"]
+        march = ((mode == MODE_EXTEND) | (mode == MODE_SHADOW)) & (event == EV_NONE)
+        is_extend = mode == MODE_EXTEND
 
-    # ---------------- EXTEND collision -> NEE setup ----------------
+        curr = ipos0 + t[..., None] * idir
+        mip_i = jnp.round(mip).astype(i32)
+        maj = lookup_majorant(grid, curr, mip_i, params.density_scale)
+        if cfg.use_tf:
+            from .transfer import tf_lookup
+
+            maj = params.majorant * tf_lookup(scene.tf, maj * params.inv_majorant)[..., 3]
+        dim = (8 << mip_i).astype(f32)[..., None]
+        offs = jnp.where(ri >= 0.0, dim + 0.5, -0.5)
+        dt = ((jnp.floor(curr / dim) * dim + offs - curr) * ri).min(axis=-1)
+        t_adv = t + dt
+        tau_adv = tau - maj * dt
+        mip_up = jnp.minimum(mip + MIP_SPEED_UP, 3.0)
+
+        collide = march & (tau_adv <= 0.0)
+        t = jnp.where(
+            march,
+            jnp.where(collide, t_adv + tau_adv / jnp.maximum(maj, 1e-20), t_adv),
+            t,
+        )
+        exited = march & (t >= far)
+        test = collide & ~exited
+
+        pos_col = ipos0 + t[..., None] * idir
+        d, _rgba, seed = _density_at(scene, params, cfg, pos_col, seed, test)
+        le, seed = _add_emission(
+            scene,
+            params,
+            cfg,
+            pos_col,
+            d * params.inv_majorant,
+            s["throughput"],
+            s["L"],
+            seed,
+            test & is_extend,
+        )
+        seed, u_cls = _rng.rng_masked(seed, test)
+        real = test & (u_cls * jnp.maximum(maj, 0.0) < d)
+
+        # null collisions: redraw tau, drop mips, keep marching
+        redraw = test & ~real
+        seed, u_tau = _rng.rng_masked(seed, redraw)
+        tau = jnp.where(redraw, -jnp.log(1.0 - u_tau), jnp.where(march, tau_adv, tau))
+        mip = jnp.where(
+            redraw,
+            jnp.maximum(0.0, mip_up - MIP_SPEED_DOWN),
+            jnp.where(march, mip_up, mip),
+        )
+        event = jnp.where(
+            real & is_extend,
+            EV_EXT_HIT,
+            jnp.where(
+                real & ~is_extend,
+                EV_SH_HIT,
+                jnp.where(exited, jnp.where(is_extend, EV_EXT_EXIT, EV_SH_EXIT), event),
+            ),
+        )
+        s.update(event=event, seed=seed, t=t, tau=tau, mip=mip, L=le)
+    return s
+
+
+def phase_nee_body(s, scene, params, cfg):
+    """Resolve EV_EXT_HIT: multiply throughput by (TF-tinted) albedo,
+    advance the path origin, sample the environment through the alias
+    table, stage the NEE contribution, and set up the shadow-ray march
+    (trace_path NEE, common.glsl:614-626)."""
+    f32, i32 = jnp.float32, jnp.int32
+    s = dict(s)
+    n = s["mode"].shape[0]
+    event, seed = s["event"], s["seed"]
+    throughput, p_org, p_dir, t = s["throughput"], s["p_org"], s["p_dir"], s["t"]
+
     ext_hit = event == EV_EXT_HIT
     if cfg.use_tf:
         from .grid import lookup_density_trilinear
@@ -293,49 +327,66 @@ def wavefront_step_body(s, scene, params, cfg, width, spp, spp_base, row0, full_
         mult = jnp.broadcast_to(params.albedo, (n, 3))
     throughput = _w3(ext_hit, throughput * mult, throughput)
     p_org = _w3(ext_hit, p_org + t[..., None] * p_dir, p_org)
-    n_paths = n_paths + ext_hit.astype(i32)
+    s["n_paths"] = s["n_paths"] + ext_hit.astype(i32)
 
     seed, u2n = _rng.rng2_masked(seed, ext_hit)
-    uv_xn, uv_yn, pdf_nee, w_i = sample_environment_alias(scene.env, u2n)
-    f_p_nee = phase_henyey_greenstein(jnp.sum(-p_dir * w_i, axis=-1), params.phase_g)
-    mis_nee = jnp.where(
+    uv_x, uv_y, pdf_nee, w_i = sample_environment_alias(scene.env, u2n)
+    f_p = phase_henyey_greenstein(jnp.sum(-p_dir * w_i, axis=-1), params.phase_g)
+    mis = jnp.where(
         params.show_environment > 0,
-        (pdf_nee * pdf_nee) / jnp.maximum(pdf_nee * pdf_nee + f_p_nee * f_p_nee, 1e-32),
+        (pdf_nee * pdf_nee) / jnp.maximum(pdf_nee * pdf_nee + f_p * f_p, 1e-32),
         1.0,
     )
     has_nee = ext_hit & (pdf_nee > 0.0)
+    le = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)
+    pending_new = throughput * (mis * f_p / jnp.maximum(pdf_nee, 1e-20))[..., None] * le
+    s["pending"] = _w3(has_nee, pending_new, s["pending"])
+    s["throughput"] = throughput
+    s["p_org"] = p_org
+    s["seed"] = seed
+    s["mode"] = jnp.where(has_nee, MODE_SHADOW, s["mode"])
+    s["event"] = jnp.where(
+        ext_hit, jnp.where(has_nee, EV_NONE, EV_SCATTER), s["event"]
+    )
+    return _setup_ray(
+        s, scene.density.inv_transform, params.bb_min, params.bb_max,
+        s["p_org"], _w3(has_nee, w_i, s["p_dir"]), has_nee,
+    )
 
-    # ---------------- SHADOW completion ----------------
-    sh_hit = event == EV_SH_HIT
+
+def phase_finish_body(s, scene, params, cfg):
+    """Resolve shadow results, escapes and scatters: visible shadow rays
+    commit the pending NEE contribution; escaped path rays add the
+    environment with the MIS power heuristic (common.glsl:645-649); then
+    bounce cap + Russian roulette + HG scatter (common.glsl:629-641), and
+    finished samples accumulate into the running sum."""
+    f32, i32 = jnp.float32, jnp.int32
+    s = dict(s)
+    n = s["mode"].shape[0]
+    event, seed = s["event"], s["seed"]
+    throughput, p_dir = s["throughput"], s["p_dir"]
+    n_paths, free = s["n_paths"], s["free"]
+    le = s["L"]
+
+    sh_hit = event == EV_SH_HIT  # occluded (binary visibility, see module doc)
     # reference consumes one RR draw when zeroing Tr (common.glsl:445-449)
     seed, _u_rr_sh = _rng.rng_masked(seed, sh_hit)
     sh_vis = event == EV_SH_EXIT
-    le = le + _w3(sh_vis, pending, jnp.zeros((n, 3), f32))
+    le = le + _w3(sh_vis, s["pending"], jnp.zeros((n, 3), f32))
 
-    # ---------------- merged environment fetch ----------------
+    # escape: environment radiance with MIS
     esc = event == EV_EXT_EXIT
-    uv_xe, uv_ye = _dir_to_uv(scene.env.inv_transform, p_dir)
-    uv_x = jnp.where(has_nee, uv_xn, uv_xe)
-    uv_y = jnp.where(has_nee, uv_yn, uv_ye)
-    le_fetch = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)
-
-    pending_new = (
-        throughput
-        * (mis_nee * f_p_nee / jnp.maximum(pdf_nee, 1e-20))[..., None]
-        * le_fetch
-    )
-    pending = _w3(has_nee, pending_new, pending)
-
-    # escape: add environment with MIS (common.glsl:645-649)
+    uv_x, uv_y = _dir_to_uv(scene.env.inv_transform, p_dir)
+    le_env = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)
     avg_w = scene.env.imp_mips[-1].reshape(())
-    pdf_esc = luma(le_fetch) / avg_w * INV_4PI
-    a2 = last_f_p * last_f_p
+    pdf_esc = luma(le_env) / avg_w * INV_4PI
+    a2 = s["last_f_p"] * s["last_f_p"]
     mis_esc = jnp.where(n_paths > 0, a2 / jnp.maximum(a2 + pdf_esc * pdf_esc, 1e-32), 1.0)
     add_env = esc & free & (params.show_environment > 0)
-    le = le + _w3(add_env, throughput * mis_esc[..., None] * le_fetch, jnp.zeros((n, 3), f32))
+    le = le + _w3(add_env, throughput * mis_esc[..., None] * le_env, jnp.zeros((n, 3), f32))
 
-    # ---------------- scatter (shadow finished or NEE skipped) ----------------
-    scatter = sh_hit | sh_vis | (ext_hit & ~has_nee)
+    # scatter
+    scatter = sh_hit | sh_vis | (event == EV_SCATTER)
     capped = scatter & (n_paths >= params.bounces)
     alive = scatter & ~capped
     rr_val = luma(throughput)
@@ -349,94 +400,52 @@ def wavefront_step_body(s, scene, params, cfg, width, spp, spp_base, row0, full_
     seed, u2s = _rng.rng2_masked(seed, alive)
     sc_dir = sample_phase_henyey_greenstein(p_dir, params.phase_g, u2s)
     f_p_sc = phase_henyey_greenstein(jnp.sum(-p_dir * sc_dir, axis=-1), params.phase_g)
-    last_f_p = jnp.where(alive, f_p_sc, last_f_p)
+    s["last_f_p"] = jnp.where(alive, f_p_sc, s["last_f_p"])
     p_dir = _w3(alive, sc_dir, p_dir)
 
-    # ---------------- path end -> accumulate + REGEN ----------------
+    # sample end -> accumulate + REGEN
     end = esc | capped | killed
     alpha = jnp.clip(n_paths.astype(f32), 0.0, 1.0)
     sample_rgba = sanitize(jnp.concatenate([le, alpha[..., None]], axis=-1))
-    accum = s["accum"] + jnp.where(end[..., None], sample_rgba, 0.0)
-    spp_done = spp_done + end.astype(i32)
-    mode = s["mode"]
-    mode = jnp.where(
-        end,
-        MODE_REGEN,
-        jnp.where(alive, MODE_EXTEND, jnp.where(has_nee, MODE_SHADOW, mode)),
-    )
-
-    # ---------------- march setup (regen / shadow / scattered) ----------------
-    setup = can | has_nee | alive
-    m_dir = _w3(has_nee, w_i, p_dir)
-    hit_box, near, far_new = intersect_box(p_org, m_dir, params.bb_min, params.bb_max)
-    inv_t = scene.density.inv_transform
-    ipos0_new = transform_point(inv_t, p_org)
-    idir_new = transform_vector(inv_t, m_dir)
-    seed, u_tau0 = _rng.rng_masked(seed, setup & hit_box)
-
-    s["mode"] = mode
+    s["accum"] = s["accum"] + jnp.where(end[..., None], sample_rgba, 0.0)
+    s["spp_done"] = s["spp_done"] + end.astype(i32)
+    s["L"] = _w3(end, jnp.zeros((n, 3), f32), le)
+    s["mode"] = jnp.where(end, MODE_REGEN, jnp.where(alive, MODE_EXTEND, s["mode"]))
     s["event"] = jnp.where(event != EV_NONE, EV_NONE, s["event"])
     s["seed"] = seed
-    s["p_org"] = p_org
-    s["p_dir"] = p_dir
     s["throughput"] = throughput
-    s["L"] = _w3(end, jnp.zeros((n, 3), f32), le)
-    s["pending"] = pending
-    s["n_paths"] = n_paths
-    s["last_f_p"] = last_f_p
+    s["p_dir"] = p_dir
     s["free"] = free
-    s["accum"] = accum
-    s["spp_done"] = spp_done
-    s["t"] = jnp.where(setup, near + 1e-6, s["t"])
-    s["far"] = jnp.where(setup, jnp.where(hit_box, far_new, 0.0), s["far"])
-    s["tau"] = jnp.where(setup, -jnp.log(1.0 - u_tau0), s["tau"])
-    s["mip"] = jnp.where(setup, MIP_START, s["mip"])
-    s["ipos0"] = _w3(setup, ipos0_new, s["ipos0"])
-    s["idir"] = _w3(setup, idir_new, s["idir"])
-    s["ri"] = _w3(setup, 1.0 / idir_new, s["ri"])
+    return _setup_ray(
+        s, scene.density.inv_transform, params.bb_min, params.bb_max,
+        s["p_org"], p_dir, alive,
+    )
+
+
+def step_body(s, scene, params, cfg, width, spp, spp_base, full_height, k_march):
+    """One full wavefront step = regen -> K march -> nee -> finish. Shared
+    by the host-phase driver and the single-jit tile variant so both
+    produce bit-identical samples."""
+    s = phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height)
+    s = phase_march_body(s, scene, params, cfg, k_march)
+    s = phase_nee_body(s, scene, params, cfg)
+    s = phase_finish_body(s, scene, params, cfg)
     return s
 
 
-# NOTE: no donate_argnames — donating this state pytree trips an
-# INVALID_ARGUMENT in the axon TPU runtime; without donation the allocator
-# recycles the freed buffers anyway (bandwidth is identical).
-@partial(jax.jit, static_argnames=("cfg", "width", "full_height", "k_march"))
-def wavefront_step(state, scene, params, cfg, width, spp, spp_base, row0, full_height, k_march=DEFAULT_K_MARCH):
-    return wavefront_step_body(
-        state, scene, params, cfg, width, spp, spp_base, row0, full_height, k_march
-    )
+# ----------------------------------------------------------------------------
+# jitted phase programs (kept as SEPARATE programs on purpose, see module doc)
+# ----------------------------------------------------------------------------
 
-
-@partial(
-    jax.jit,
-    static_argnames=("cfg", "width", "full_height", "k_march", "n_steps"),
+phase_regen = partial(jax.jit, static_argnames=("cfg", "width", "full_height"))(
+    phase_regen_body
 )
-def wavefront_steps(
-    state,
-    scene,
-    params,
-    cfg,
-    width,
-    spp,
-    spp_base,
-    row0,
-    full_height,
-    k_march=DEFAULT_K_MARCH,
-    n_steps=8,
-):
-    """n_steps chained wavefront steps in ONE dispatch. Python-unrolled (not
-    lax control flow) on purpose: device-loop bodies get the scalarized
-    gather lowering, straight-line graphs keep the fast vectorized gathers,
-    and one dispatch amortizes the per-execute overhead of the tunneled
-    runtime (~2-8 ms/call)."""
-    for _ in range(n_steps):
-        state = wavefront_step_body(
-            state, scene, params, cfg, width, spp, spp_base, row0, full_height, k_march
-        )
-    return state
+phase_march = partial(jax.jit, static_argnames=("cfg", "k_march"))(phase_march_body)
+phase_nee = partial(jax.jit, static_argnames=("cfg",))(phase_nee_body)
+phase_finish = partial(jax.jit, static_argnames=("cfg",))(phase_finish_body)
 
 
-@partial(jax.jit, static_argnames=())
+@jax.jit
 def _any_active(mode):
     return (mode != MODE_INACTIVE).any()
 
@@ -451,36 +460,26 @@ def render_wavefront_host(
     spp_base,
     row0=0,
     full_height=None,
-    k_march=DEFAULT_K_MARCH,
-    steps_per_launch=None,
-    check_every=3,
+    k_march=None,
+    check_every=8,
+    n_groups=1,
 ):
     """Host-stepped wavefront render (the fast path). Returns the
     (height, width, 4) SUM of spp per-sample (L, alpha) values."""
+    on_tpu = jax.default_backend() == "tpu"
     full_height = height if full_height is None else full_height
-    if steps_per_launch is None:
-        # deep chaining amortizes dispatch overhead on the tunneled TPU but
-        # multiplies (slow) CPU compile time; keep CPU graphs small
-        steps_per_launch = 8 if jax.default_backend() == "tpu" else 1
-    state = init_state(width, height)
+    if k_march is None:
+        k_march = DEFAULT_K_MARCH if on_tpu else 4
     spp = jnp.asarray(spp, jnp.int32)
     spp_base = jnp.asarray(spp_base, jnp.int32)
-    row0 = jnp.asarray(row0, jnp.int32)
+
+    state = init_state(width, height, row0)
     while True:
         for _ in range(check_every):
-            state = wavefront_steps(
-                state,
-                scene,
-                params,
-                cfg,
-                width,
-                spp,
-                spp_base,
-                row0,
-                full_height,
-                k_march,
-                steps_per_launch,
-            )
+            state = phase_regen(state, scene, params, cfg, width, spp, spp_base, full_height)
+            state = phase_march(state, scene, params, cfg, k_march)
+            state = phase_nee(state, scene, params, cfg)
+            state = phase_finish(state, scene, params, cfg)
         if not bool(_any_active(state["mode"])):
             break
     return state["accum"].reshape(height, width, 4)
@@ -505,12 +504,10 @@ def render_wavefront_tile(
 
     def body(c):
         s, it = c
-        s = wavefront_step_body(
-            s, scene, params, cfg, width, spp, spp_base, row0, full_height, 1
-        )
+        s = step_body(s, scene, params, cfg, width, spp, spp_base, full_height, 1)
         return s, it + 1
 
-    state = init_state(width, height)
+    state = init_state(width, height, row0)
     state, it = lax.while_loop(cond, body, (state, jnp.int32(0)))
     return state["accum"].reshape(height, width, 4), it
 

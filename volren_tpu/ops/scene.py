@@ -17,14 +17,46 @@ import numpy as np
 
 
 class GridDevice(NamedTuple):
-    """Brick grid on device. Shapes carry the static brick dims."""
+    """Brick grid on device. Shapes carry the static brick dims.
 
-    indirection: jnp.ndarray  # (bz, by, bx) int32 flat atlas slot
-    range_minmax: jnp.ndarray  # (bz, by, bx, 2) float32
-    mips: tuple  # 3 x (mz, my, mx, 2) float32 min/max pyramid
+    Layouts are gather-optimized: random lookups on this TPU runtime cost
+    per gather OP far more than per gathered byte, so everything needed at
+    one brick is packed into a single wide row.
+    """
+
+    # (bz, by, bx, 3) float32: [atlas slot, range min, range max] — one row
+    # gather decodes a voxel together with `atlas`
+    brick_meta: jnp.ndarray
+    # flat concat of the majorant pyramid levels 0..3 (level 0 = per-brick
+    # range max), each flattened [z, y, x] — one gather serves any mip
+    mip_maj: jnp.ndarray
+    # static python metadata derived from shapes (not traced):
+    # mip level dims [(z, y, x) x 4] and flat offsets [4]
     atlas: jnp.ndarray  # (n_slots, 512) uint8, voxel order (z, y, x)
     transform: jnp.ndarray  # (4, 4) index -> world (volume xform folded in)
     inv_transform: jnp.ndarray  # (4, 4) world -> index
+
+    @property
+    def n_bricks(self):
+        bz, by, bx = self.brick_meta.shape[:3]
+        return bx, by, bz
+
+    @property
+    def mip_dims(self):
+        """Static per-level (z, y, x) dims of the majorant pyramid."""
+        bz, by, bx = self.brick_meta.shape[:3]
+        dims = [(bz, by, bx)]
+        for _ in range(3):
+            z, y, x = dims[-1]
+            dims.append((max(1, -(-z // 2)), max(1, -(-y // 2)), max(1, -(-x // 2))))
+        return dims
+
+    @property
+    def mip_offsets(self):
+        offs = [0]
+        for z, y, x in self.mip_dims[:-1]:
+            offs.append(offs[-1] + z * y * x)
+        return offs
 
 
 class EnvDevice(NamedTuple):
@@ -35,9 +67,11 @@ class EnvDevice(NamedTuple):
     strength: jnp.ndarray  # () float32
     # O(1) texel sampling (Vose alias table over imp_mips[0]); draws the
     # exact same texel distribution as the hierarchical mip warp — the warp's
-    # box-filtered pyramid telescopes to P(texel) = w / (N * avg)
-    alias_prob: jnp.ndarray  # (D*D,) float32 probability to keep own texel
-    alias_idx: jnp.ndarray  # (D*D,) int32 alias texel
+    # box-filtered pyramid telescopes to P(texel) = w / (N * avg).
+    # Packed (D*D, 4) float32 rows [keep_prob, alias_idx, own_pdf, alias_pdf]
+    # so one gather serves the whole sample (pdf = w/avg * 1/4pi, solid-angle
+    # convention of common.glsl:143-145; idx exact in f32 for D<=4096)
+    alias_packed: jnp.ndarray
 
 
 class TFDevice(NamedTuple):
@@ -93,10 +127,30 @@ def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:
     )
     inv = np.linalg.inv(t)
     atlas = brick_grid.atlas.reshape(brick_grid.atlas.shape[0], -1)
+    meta = np.concatenate(
+        [
+            brick_grid.indirection.astype(np.float32)[..., None],
+            brick_grid.range,
+        ],
+        axis=-1,
+    )
+    # majorant pyramid: level 0 = per-brick max, then the 3 stored mips
+    # (pyramid dims follow ceil-halving, matching GridDevice.mip_dims)
+    mips = brick_grid.range_mips
+    expect = []
+    z, y, x = brick_grid.range.shape[:3]
+    for _ in range(3):
+        z, y, x = max(1, -(-z // 2)), max(1, -(-y // 2)), max(1, -(-x // 2))
+        expect.append((z, y, x))
+    if len(mips) < 3 or any(m.shape[:3] != e for m, e in zip(mips, expect)):
+        from ..voldata.brick import build_range_mips
+
+        mips = build_range_mips(brick_grid.range)
+    maj_levels = [brick_grid.range[..., 1]] + [m[..., 1] for m in mips]
+    mip_maj = np.concatenate([m.reshape(-1) for m in maj_levels])
     return GridDevice(
-        indirection=jnp.asarray(brick_grid.indirection.astype(np.int32)),
-        range_minmax=jnp.asarray(brick_grid.range),
-        mips=tuple(jnp.asarray(m) for m in brick_grid.range_mips),
+        brick_meta=jnp.asarray(meta),
+        mip_maj=jnp.asarray(mip_maj.astype(np.float32)),
         atlas=jnp.asarray(atlas),
         transform=jnp.asarray(t.astype(np.float32)),
         inv_transform=jnp.asarray(inv.astype(np.float32)),
@@ -127,6 +181,13 @@ def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def upload_environment(env) -> EnvDevice:
     prob, alias = build_alias_table(env.impmap_mips[0])
+    w = np.asarray(env.impmap_mips[0], np.float32).reshape(-1)
+    avg = float(env.impmap_mips[-1].reshape(()))
+    inv_4pi = 1.0 / (4.0 * np.pi)
+    pdf = w / max(avg, 1e-20) * inv_4pi
+    packed = np.stack(
+        [prob, alias.astype(np.float32), pdf, pdf[alias]], axis=-1
+    ).astype(np.float32)
     return EnvDevice(
         envmap=jnp.asarray(env.envmap),
         imp_mips=tuple(jnp.asarray(m) for m in env.impmap_mips),
@@ -135,8 +196,7 @@ def upload_environment(env) -> EnvDevice:
             np.linalg.inv(np.asarray(env.transform, np.float64)).astype(np.float32)
         ),
         strength=jnp.asarray(np.float32(env.strength)),
-        alias_prob=jnp.asarray(prob),
-        alias_idx=jnp.asarray(alias),
+        alias_packed=jnp.asarray(packed),
     )
 
 
