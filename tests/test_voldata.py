@@ -118,3 +118,18 @@ def test_lookup_out_of_bounds_zero(random_grid16):
     bg = build_brick_grid(random_grid16)
     assert bg.lookup(np.array([-1, 0, 0])) == 0.0
     assert bg.lookup(np.array([0, 99, 0])) == 0.0
+
+
+def test_native_builder_matches_numpy(random_grid16):
+    from volren_tpu import native
+    from volren_tpu.voldata.brick import build_brick_grid
+
+    if not native.available():
+        pytest.skip("native voldata library not built")
+    g_nat = build_brick_grid(random_grid16, use_native=True)
+    g_np = build_brick_grid(random_grid16, use_native=False)
+    np.testing.assert_array_equal(g_nat.indirection, g_np.indirection)
+    np.testing.assert_array_equal(g_nat.range, g_np.range)
+    np.testing.assert_array_equal(g_nat.atlas, g_np.atlas)
+    for a, b in zip(g_nat.range_mips, g_np.range_mips):
+        np.testing.assert_array_equal(a, b)

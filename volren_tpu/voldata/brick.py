@@ -115,17 +115,39 @@ def build_range_mips(range_: np.ndarray, n_mips: int = NUM_RANGE_MIPS) -> list[n
     return mips
 
 
-def build_brick_grid(dense: np.ndarray, transform: np.ndarray | None = None) -> BrickGrid:
+def build_brick_grid(
+    dense: np.ndarray, transform: np.ndarray | None = None, use_native: bool = True
+) -> BrickGrid:
     """Encode a dense (z, y, x) float32 array as a BrickGrid.
 
     Equivalent of voldata::Volume::to_brick_grid
     (/root/reference/src/renderer.cpp:63). Only bricks with max > min get an
     atlas slot: constant bricks (including empty ones) decode exactly through
     the range alone, for any atlas content.
+
+    Uses the native C++ builder (volren_tpu.native) when available; the
+    vectorized numpy path below is the behavioural reference and fallback.
     """
     dense = np.asarray(dense, dtype=np.float32)
     if transform is None:
         transform = np.eye(4, dtype=np.float32)
+    if use_native:
+        try:
+            from .. import native
+
+            built = native.build_brick_grid_native(dense)
+        except Exception:
+            built = None
+        if built is not None:
+            indirection, range_, atlas = built
+            Z, Y, X = dense.shape
+            return BrickGrid(
+                indirection=indirection,
+                range_=range_,
+                atlas=atlas,
+                transform=transform,
+                voxel_extent=np.array([X, Y, Z], dtype=np.int64),
+            )
     Z, Y, X = dense.shape
     bx, by, bz = _cdiv(X, 8), _cdiv(Y, 8), _cdiv(Z, 8)
     padded = np.zeros((bz * 8, by * 8, bx * 8), dtype=np.float32)
@@ -146,7 +168,9 @@ def build_brick_grid(dense: np.ndarray, transform: np.ndarray | None = None) -> 
         occ = blocks[occupied]  # (n_occ, 8, 8, 8)
         omin = bmin[occupied][:, None, None, None]
         omax = bmax[occupied][:, None, None, None]
-        atlas = np.rint((occ - omin) / (omax - omin) * 255.0).astype(np.uint8)
+        # identical f32 op order as the native builder: (v - lo) * scale + 0.5
+        scale = np.float32(255.0) / (omax - omin)
+        atlas = ((occ - omin) * scale + np.float32(0.5)).astype(np.uint8)
     else:
         atlas = np.zeros((1, 8, 8, 8), dtype=np.uint8)
     range_ = np.stack([bmin, bmax], axis=-1).astype(np.float32)
