@@ -108,3 +108,33 @@ def test_save_png(tiny_renderer, tmp_path):
 
     im = np.asarray(Image.open(p))
     assert im.shape == (24, 24, 3)
+
+
+def test_checkpoint_resume(tiny_renderer, tmp_path):
+    r = tiny_renderer
+    r.engine = "wavefront"
+    r.render(3)
+    p = str(tmp_path / "ckpt.npz")
+    r.save_checkpoint(p)
+    fb3 = r.fbo_data().copy()
+    # continue to 6 spp
+    r.trace(spp=3)
+    fb6 = r.fbo_data().copy()
+    # resume from checkpoint and continue: must match exactly
+    r.load_checkpoint(p)
+    np.testing.assert_array_equal(r.fbo_data(), fb3)
+    r.trace(spp=3)
+    np.testing.assert_array_equal(r.fbo_data(), fb6)
+
+
+def test_distribute_mesh_render(tiny_renderer):
+    r = tiny_renderer
+    r.engine = "wavefront"
+    r.render(2)
+    single = r.fbo_data().copy()
+    r.distribute()
+    try:
+        r.render(2)
+        np.testing.assert_allclose(r.fbo_data(), single, rtol=1e-6, atol=1e-7)
+    finally:
+        r.mesh = None

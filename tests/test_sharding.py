@@ -63,3 +63,17 @@ def test_sharded_tile_seeding_is_global(tiny_scene):
         )(scene, params)
     )
     np.testing.assert_allclose(tile, full[8:], rtol=1e-6, atol=1e-7)
+
+
+def test_sharded_host_matches_single(tiny_scene):
+    from volren_tpu.parallel.sharding import render_sharded_host
+    from volren_tpu.ops.megakernel import render_wavefront_host
+
+    r = tiny_scene
+    scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
+    single = np.asarray(render_wavefront_host(scene, params, cfg, 16, 16, 4, 0))
+    mesh = make_mesh(n_tiles=8, n_spp=1)
+    sharded = np.asarray(
+        render_sharded_host(scene, params, cfg, 16, 16, 4, 0, mesh)
+    )
+    np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)

@@ -19,6 +19,7 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
@@ -75,3 +76,46 @@ def render_sharded(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh)
         )
     )
     return fn(scene, params, jnp.asarray(spp_base, jnp.int32))
+
+
+def render_sharded_host(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh, **kw):
+    """Host-stepped multi-device render: the wavefront state is sharded row-wise
+    over the mesh's 'tiles' axis and every phase program runs SPMD (scene
+    replicated, zero cross-device traffic during tracing — the TPU-native
+    analogue of the reference's single big dispatch, SURVEY 2c). Sample set
+    identical to a single-device render."""
+    from jax.sharding import NamedSharding
+
+    from ..ops import megakernel as M
+
+    n_tiles = int(np.prod(list(mesh.shape.values())))
+    assert height % n_tiles == 0, f"height {height} not divisible by {n_tiles} devices"
+    axes = tuple(mesh.axis_names)
+
+    lane_spec = P(axes)  # lane axis sharded over all mesh axes
+    state = M.init_state(width, height)
+    shard = NamedSharding(mesh, lane_spec)
+    shard2 = NamedSharding(mesh, P(axes, None))
+    state = {
+        k: jax.device_put(v, shard2 if v.ndim == 2 else shard)
+        for k, v in state.items()
+    }
+    repl = NamedSharding(mesh, P())
+    scene = jax.device_put(scene, repl)
+    params = jax.device_put(params, repl)
+
+    spp = jnp.asarray(spp, jnp.int32)
+    spp_base = jnp.asarray(spp_base, jnp.int32)
+    k_march = kw.get("k_march") or (
+        M.DEFAULT_K_MARCH if jax.default_backend() == "tpu" else 4
+    )
+    check_every = kw.get("check_every", 8)
+    while True:
+        for _ in range(check_every):
+            state = M.phase_regen(state, scene, params, cfg, width, spp, spp_base, height)
+            state = M.phase_march(state, scene, params, cfg, k_march)
+            state = M.phase_nee(state, scene, params, cfg)
+            state = M.phase_finish(state, scene, params, cfg)
+        if not bool(M._any_active(state["mode"])):
+            break
+    return state["accum"].reshape(height, width, 4)

@@ -67,6 +67,9 @@ class Renderer:
         # nested-loop structure (slow, used for cross-validation)
         self.engine = "wavefront"
         self.max_spp_per_launch = 16
+        # optional jax.sharding.Mesh: shards the wavefront state row-wise
+        # across devices (set via distribute())
+        self.mesh = None
 
     # ---- lifecycle (RendererOpenGL::init/resize/commit/trace/draw/reset) ----
 
@@ -183,15 +186,29 @@ class Renderer:
                     "the wavefront engine is DDA-only; use engine='oracle' "
                     "for the global-majorant estimators"
                 )
-            accum = render_wavefront_host(
-                self._scene_device(),
-                self._trace_params(),
-                self._config(),
-                self._width,
-                self._height,
-                int(spp),
-                self.sample,
-            )
+            if self.mesh is not None:
+                from .parallel.sharding import render_sharded_host
+
+                accum = render_sharded_host(
+                    self._scene_device(),
+                    self._trace_params(),
+                    self._config(),
+                    self._width,
+                    self._height,
+                    int(spp),
+                    self.sample,
+                    self.mesh,
+                )
+            else:
+                accum = render_wavefront_host(
+                    self._scene_device(),
+                    self._trace_params(),
+                    self._config(),
+                    self._width,
+                    self._height,
+                    int(spp),
+                    self.sample,
+                )
             prev = self.sample
             self.sample += int(spp)
             self._fb = (self._fb * prev + accum) / self.sample
@@ -262,6 +279,39 @@ class Renderer:
             t[:3, 3] = (-bb_min - 0.5 * extent) / size
             self.volume.transform = t
             self.density_scale *= size
+
+    def distribute(self, mesh=None):
+        """Render across a device mesh (pixel rows sharded, volume
+        replicated). With no argument, builds a 1D mesh over all devices."""
+        if mesh is None:
+            from .parallel.sharding import make_mesh
+
+            mesh = make_mesh(n_tiles=len(jax.devices()), n_spp=1)
+        self.mesh = mesh
+        return self
+
+    # ---- checkpoint / resume (the progressive state is (accum, sample);
+    # the reference has no persistence at all, SURVEY §5) ----
+
+    def save_checkpoint(self, path: str):
+        np.savez_compressed(
+            path,
+            framebuffer=np.asarray(self._fb),
+            sample=self.sample,
+            seed=self.seed,
+        )
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path)
+        self._fb = jnp.asarray(data["framebuffer"])
+        self._height, self._width = self._fb.shape[:2]
+        self.sample = int(data["sample"])
+        self.seed = int(data["seed"])
+
+    def profile(self, log_dir: str):
+        """Context manager: wrap trace()/render() calls to capture a
+        jax.profiler trace viewable in TensorBoard/Perfetto."""
+        return jax.profiler.trace(log_dir)
 
     @property
     def resolution(self) -> tuple[int, int]:
