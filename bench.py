@@ -24,7 +24,32 @@ SPP = int(os.environ.get("BENCH_SPP", "32"))
 BOUNCES = int(os.environ.get("BENCH_BOUNCES", "100"))
 
 
+def _watchdog(seconds):
+    """Emit a fallback JSON line if the device hangs (the tunneled TPU
+    occasionally wedges); the driver always gets its one line."""
+    import signal
+
+    def on_alarm(signum, frame):
+        print(
+            json.dumps(
+                {
+                    "metric": f"spp/sec @ {RES}x{RES} smoke.brick (wavefront DDA, {BOUNCES} bounces)",
+                    "value": 0.0,
+                    "unit": "spp/s",
+                    "vs_baseline": 0.0,
+                    "error": f"device timeout after {seconds}s",
+                }
+            ),
+            flush=True,
+        )
+        raise SystemExit(1)
+
+    signal.signal(signal.SIGALRM, on_alarm)
+    signal.alarm(seconds)
+
+
 def main():
+    _watchdog(int(os.environ.get("BENCH_TIMEOUT", "1500")))
     import jax
 
     from volren_tpu.renderer import Renderer
