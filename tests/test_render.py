@@ -138,3 +138,44 @@ def test_distribute_mesh_render(tiny_renderer):
         np.testing.assert_allclose(r.fbo_data(), single, rtol=1e-6, atol=1e-7)
     finally:
         r.mesh = None
+
+
+def test_animation_offline_loop(tmp_path):
+    """Multi-frame volume folders render to numbered outputs via the CLI
+    loop semantics (main.cpp:524-558)."""
+    from volren_tpu.voldata import build_brick_grid, write_brick, Volume
+    from volren_tpu.renderer import Renderer
+    from volren_tpu.scene.environment import Environment
+
+    rng = np.random.default_rng(3)
+    for i in range(2):
+        g = build_brick_grid(rng.random((8, 8, 8)).astype(np.float32))
+        write_brick(str(tmp_path / f"f{i}.brick"), g)
+    r = Renderer()
+    r.volume = Volume.load_folder(str(tmp_path))
+    r.scale_and_move_to_unit_cube()
+    r.set_environment(Environment.white(0.5))
+    r.bounces = 4
+    r.init(12, 12)
+    r.commit()
+    frames = []
+    for i in range(r.volume.n_grid_frames()):
+        r.reset()
+        r._fb = jnp.zeros_like(r._fb)
+        r.volume.grid_frame_counter = i
+        r.trace(spp=2)
+        frames.append(r.fbo_data().copy())
+    assert len(frames) == 2
+    assert not np.array_equal(frames[0], frames[1])  # different grids
+
+
+def test_draw_tonemap_toggle(tiny_renderer):
+    r = tiny_renderer
+    r.render(2)
+    r.tonemapping = True
+    tm = r.draw()
+    r.tonemapping = False
+    raw = r.draw()
+    assert tm.shape == raw.shape == (24, 24, 4)
+    assert not np.allclose(tm[..., :3], raw[..., :3])
+    np.testing.assert_array_equal(tm[..., 3], raw[..., 3])  # alpha untouched
