@@ -138,3 +138,36 @@ def test_tracking_respects_clip_box(random_grid16):
     params2 = params._replace(bb_min=jnp.asarray(np.array([12.0, 0, 0], np.float32)))
     tr_clip, _ = f(scene, params2, org=org, direction=d, seed=seeds(n, 8), active=jnp.ones(n, bool))
     assert float(np.asarray(tr_clip).mean()) > float(np.asarray(tr_full).mean())
+
+
+def test_tf_dda_vs_delta_tracking_agree(random_grid16):
+    """SURVEY hard part #4: with a CDF-rewritten (monotone-alpha) LUT the
+    local TF majorant tf(maj).a * vol_majorant bounds tf(d).a * vol_majorant
+    for every d <= maj, so DDA-TF tracking stays unbiased and must agree
+    with global-majorant TF tracking."""
+    from volren_tpu.ops import scene as dscene
+    from volren_tpu.scene.transferfunc import TransferFunction
+
+    scene, params = make_scene(random_grid16, density_scale=1.0)
+    tf = TransferFunction("/root/reference/data/lut.txt")  # non-monotone -> CDF
+    scene = scene._replace(tf=dscene.upload_transferfunc(tf))
+    dev_alpha = np.asarray(scene.tf.lut)[:, 3]
+    assert (np.diff(dev_alpha) >= -1e-7).all()
+
+    cfg_tf = TraceConfig(use_dda=False, use_tf=True, has_emission=False, max_steps=4096)
+    cfg_tf_dda = TraceConfig(use_dda=True, use_tf=True, has_emission=False, max_steps=4096)
+    n = 30_000
+    rng = np.random.default_rng(9)
+    org = jnp.asarray((rng.random((n, 3)) * 30 - 7).astype(np.float32))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    active = jnp.ones(n, bool)
+    tr_a, _ = jax.jit(functools.partial(T.transmittance, cfg=cfg_tf))(
+        scene, params, org=org, direction=d, seed=seeds(n, 11), active=active
+    )
+    tr_b, _ = jax.jit(functools.partial(T.transmittance_dda, cfg=cfg_tf_dda))(
+        scene, params, org=org, direction=d, seed=seeds(n, 12), active=active
+    )
+    ma, mb = float(np.asarray(tr_a).mean()), float(np.asarray(tr_b).mean())
+    assert abs(ma - mb) < 0.01, (ma, mb)
