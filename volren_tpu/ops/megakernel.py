@@ -435,14 +435,88 @@ def step_body(s, scene, params, cfg, width, spp, spp_base, full_height, k_march)
 
 # ----------------------------------------------------------------------------
 # jitted phase programs (kept as SEPARATE programs on purpose, see module doc)
+#
+# Each program takes and RETURNS only the state entries its phase can
+# modify; everything else rides along read-only. Without buffer donation
+# (which the axon runtime rejects) XLA copies every passthrough output, so
+# returning untouched arrays would double the per-step HBM traffic.
 # ----------------------------------------------------------------------------
 
-phase_regen = partial(jax.jit, static_argnames=("cfg", "width", "full_height"))(
-    phase_regen_body
-)
-phase_march = partial(jax.jit, static_argnames=("cfg", "k_march"))(phase_march_body)
-phase_nee = partial(jax.jit, static_argnames=("cfg",))(phase_nee_body)
-phase_finish = partial(jax.jit, static_argnames=("cfg",))(phase_finish_body)
+_RW = {
+    "regen": (
+        "mode", "event", "seed", "p_org", "p_dir", "throughput", "L",
+        "pending", "n_paths", "last_f_p", "free", "t", "far", "tau", "mip",
+        "ipos0", "idir", "ri",
+    ),
+    "march": ("event", "seed", "t", "tau", "mip", "L"),
+    "nee": (
+        "mode", "event", "seed", "p_org", "throughput", "n_paths", "pending",
+        "t", "far", "tau", "mip", "ipos0", "idir", "ri",
+    ),
+    "finish": (
+        "mode", "event", "seed", "p_dir", "throughput", "L", "last_f_p",
+        "free", "accum", "spp_done", "t", "far", "tau", "mip", "ipos0",
+        "idir", "ri",
+    ),
+}
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "full_height"))
+def _phase_regen_sub(rw, ro, scene, params, cfg, width, spp, spp_base, full_height):
+    out = phase_regen_body({**ro, **rw}, scene, params, cfg, width, spp, spp_base, full_height)
+    return {k: out[k] for k in _RW["regen"]}
+
+
+@partial(jax.jit, static_argnames=("cfg", "k_march"))
+def _phase_march_sub(rw, ro, scene, params, cfg, k_march):
+    out = phase_march_body({**ro, **rw}, scene, params, cfg, k_march)
+    return {k: out[k] for k in _RW["march"]}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _phase_nee_sub(rw, ro, scene, params, cfg):
+    out = phase_nee_body({**ro, **rw}, scene, params, cfg)
+    return {k: out[k] for k in _RW["nee"]}
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def _phase_finish_sub(rw, ro, scene, params, cfg):
+    out = phase_finish_body({**ro, **rw}, scene, params, cfg)
+    return {k: out[k] for k in _RW["finish"]}
+
+
+def _split(state, name):
+    rw = {k: state[k] for k in _RW[name]}
+    ro = {k: v for k, v in state.items() if k not in _RW[name]}
+    return rw, ro
+
+
+def phase_regen(state, scene, params, cfg, width, spp, spp_base, full_height):
+    rw, ro = _split(state, "regen")
+    out = dict(state)
+    out.update(_phase_regen_sub(rw, ro, scene, params, cfg, width, spp, spp_base, full_height))
+    return out
+
+
+def phase_march(state, scene, params, cfg, k_march):
+    rw, ro = _split(state, "march")
+    out = dict(state)
+    out.update(_phase_march_sub(rw, ro, scene, params, cfg, k_march))
+    return out
+
+
+def phase_nee(state, scene, params, cfg):
+    rw, ro = _split(state, "nee")
+    out = dict(state)
+    out.update(_phase_nee_sub(rw, ro, scene, params, cfg))
+    return out
+
+
+def phase_finish(state, scene, params, cfg):
+    rw, ro = _split(state, "finish")
+    out = dict(state)
+    out.update(_phase_finish_sub(rw, ro, scene, params, cfg))
+    return out
 
 
 @jax.jit
