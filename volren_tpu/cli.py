@@ -169,7 +169,11 @@ def main(argv: list[str] | None = None) -> int:
         elif arg == "--vol_crop_max":
             renderer.vol_clip_max = np.array([float(v) for v in take(3)], np.float32)
         elif arg == "--no-dda":
+            # global-majorant estimators exist only in the oracle engine
             renderer._use_dda = False
+            renderer.engine = "oracle"
+        elif arg == "--engine":
+            renderer.engine = take()
         elif os.path.exists(arg):
             paths.append(arg)
         else:
