@@ -308,6 +308,45 @@ class Renderer:
         self.sample = int(data["sample"])
         self.seed = int(data["seed"])
 
+    def describe(self) -> dict:
+        """All live parameters (the reference exposes these through its
+        ImGui panel, main.cpp:164-305 — this is the headless equivalent)."""
+        return {
+            "sample": self.sample,
+            "sppx": self.sppx,
+            "seed": self.seed,
+            "bounces": self.bounces,
+            "tonemap_exposure": self.tonemap_exposure,
+            "tonemap_gamma": self.tonemap_gamma,
+            "tonemapping": self.tonemapping,
+            "show_environment": self.show_environment,
+            "albedo": tuple(float(v) for v in self.albedo),
+            "phase": self.phase,
+            "density_scale": self.density_scale,
+            "emission_scale": self.emission_scale,
+            "vol_clip_min": tuple(float(v) for v in self.vol_clip_min),
+            "vol_clip_max": tuple(float(v) for v in self.vol_clip_max),
+            "env_strength": self.environment.strength,
+            "cam_pos": tuple(float(v) for v in self.cam.pos),
+            "cam_dir": tuple(float(v) for v in self.cam.dir),
+            "cam_fov": self.cam.fov_degree,
+            "resolution": self.resolution,
+            "engine": self.engine,
+            "grid_frames": self.volume.n_grid_frames(),
+            "grid_frame": self.volume.grid_frame_counter,
+            "transferfunc": None
+            if self.transferfunc is None
+            else {
+                "size": self.transferfunc.size,
+                "window_left": self.transferfunc.window_left,
+                "window_width": self.transferfunc.window_width,
+            },
+        }
+
+    def __repr__(self) -> str:
+        lines = [f"{k}: {v}" for k, v in self.describe().items()]
+        return "Renderer(\n  " + "\n  ".join(lines) + "\n)"
+
     def profile(self, log_dir: str):
         """Context manager: wrap trace()/render() calls to capture a
         jax.profiler trace viewable in TensorBoard/Perfetto."""
