@@ -22,6 +22,7 @@ NOMINAL_REFERENCE_SPP_S = 30.0
 RES = int(os.environ.get("BENCH_RES", "1024"))
 SPP = int(os.environ.get("BENCH_SPP", "32"))
 BOUNCES = int(os.environ.get("BENCH_BOUNCES", "100"))
+USE_TF = os.environ.get("BENCH_TF", "0") == "1"  # BASELINE config 2 variant
 
 
 def _watchdog(seconds):
@@ -60,6 +61,11 @@ def main():
     r.volume = Volume("/root/reference/data/smoke.brick")
     r.scale_and_move_to_unit_cube()
     r.set_environment(Environment("/root/reference/data/table_mountain_2_puresky_1k.hdr"))
+    if USE_TF:
+        from volren_tpu.scene.transferfunc import TransferFunction
+
+        r.set_transferfunc(TransferFunction("/root/reference/data/lut.txt"))
+        r.show_environment = False
     r.bounces = BOUNCES
     r.init(RES, RES)
     r.commit()
@@ -73,10 +79,11 @@ def main():
     dt = time.time() - t0
     spp_per_sec = SPP / dt
 
+    variant = "TF" if USE_TF else "no-TF"
     print(
         json.dumps(
             {
-                "metric": f"spp/sec @ {RES}x{RES} smoke.brick (wavefront DDA, {BOUNCES} bounces)",
+                "metric": f"spp/sec @ {RES}x{RES} smoke.brick ({variant}, wavefront DDA, {BOUNCES} bounces)",
                 "value": round(spp_per_sec, 3),
                 "unit": "spp/s",
                 "vs_baseline": round(spp_per_sec / NOMINAL_REFERENCE_SPP_S, 3),
