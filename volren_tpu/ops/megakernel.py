@@ -547,15 +547,31 @@ def render_wavefront_host(
     spp = jnp.asarray(spp, jnp.int32)
     spp_base = jnp.asarray(spp_base, jnp.int32)
 
+    # generous safety bound: a sample needs on the order of
+    # bounces x (DDA steps per segment) / k_march steps; runaway lanes
+    # (fp pathologies) must not hang production renders
+    max_steps = 4096 + 512 * int(spp)
     state = init_state(width, height, row0)
+    steps = 0
     while True:
         for _ in range(check_every):
             state = phase_regen(state, scene, params, cfg, width, spp, spp_base, full_height)
             state = phase_march(state, scene, params, cfg, k_march)
             state = phase_nee(state, scene, params, cfg)
             state = phase_finish(state, scene, params, cfg)
+        steps += check_every
         if not bool(_any_active(state["mode"])):
             break
+        if steps > max_steps:
+            import numpy as _np
+
+            stuck = int(_np.asarray(state["mode"] != MODE_INACTIVE).sum())
+            done = _np.asarray(state["spp_done"])
+            raise RuntimeError(
+                f"wavefront render did not converge after {steps} steps: "
+                f"{stuck} lanes active, spp_done min/median "
+                f"{done.min()}/{int(_np.median(done))} of {int(spp)}"
+            )
     return state["accum"].reshape(height, width, 4)
 
 
