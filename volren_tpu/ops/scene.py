@@ -114,7 +114,6 @@ class TraceConfig(NamedTuple):
     use_tf: bool = False
     has_emission: bool = False
     max_steps: int = 8192  # safety bound on masked tracking loops
-    max_bounces_static: int = 0  # 0 = dynamic (params.bounces)
 
 
 def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:

@@ -19,9 +19,6 @@ with the GLSL renderer is the correctness target):
 
 from __future__ import annotations
 
-from functools import partial
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

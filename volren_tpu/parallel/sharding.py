@@ -16,8 +16,6 @@ floating-point reduction order.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 import jax.numpy as jnp

@@ -66,7 +66,6 @@ class Renderer:
         # (the TPU performance path); "oracle": literal port of the GLSL
         # nested-loop structure (slow, used for cross-validation)
         self.engine = "wavefront"
-        self.max_spp_per_launch = 16
         # optional jax.sharding.Mesh: shards the wavefront state row-wise
         # across devices (set via distribute())
         self.mesh = None
