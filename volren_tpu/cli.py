@@ -73,6 +73,58 @@ def run_script(renderer: Renderer, path: str) -> None:
     exec(compile(code, path, "exec"), glb)
 
 
+def _interactive_loop(renderer, out_filename, animate, animation_fps):
+    """Headless analogue of the reference's interactive loop
+    (main.cpp:477-523): progressive accumulation with a live preview file,
+    1 Hz kernel hot-reload polling (resets accumulation on change, like
+    shader reload), volume animation advance at animation_fps, auto-save of
+    the raw framebuffer at convergence (main.cpp:512-513). Ctrl-C exits."""
+    import time
+
+    from .utils.hotreload import KernelWatcher
+    from .utils.image import save_ldr
+
+    watcher = KernelWatcher()
+    preview = os.path.splitext(out_filename)[0] + "_preview.png"
+    reload_timer = time.time()
+    animation_timer = time.time()
+    print(f"interactive (headless): preview -> {preview}, Ctrl-C to stop")
+    try:
+        while True:
+            if time.time() - reload_timer >= 1.0:  # shader_check_delay_ms
+                if watcher.reload_modified_kernels():
+                    renderer.reset()
+                reload_timer = time.time()
+            if animate and time.time() - animation_timer >= 1.0 / animation_fps:
+                renderer.volume.grid_frame_counter = (
+                    renderer.volume.grid_frame_counter + 1
+                ) % renderer.volume.n_grid_frames()
+                renderer.reset()
+                animation_timer = time.time()
+            if renderer.sample < renderer.sppx:
+                t0 = time.time()
+                step = min(renderer.sppx - renderer.sample, 4)
+                renderer.trace(spp=step)
+                dt = time.time() - t0
+                eta = dt / step * (renderer.sppx - renderer.sample)
+                print(
+                    f"sample {renderer.sample}/{renderer.sppx} "
+                    f"({step / dt:.2f} spp/s, est: {int(eta) // 60}m {int(eta) % 60}s)",
+                    end="\r",
+                    flush=True,
+                )
+                save_ldr(preview, renderer.draw(), flip=True, alpha=False)
+                if renderer.sample >= renderer.sppx:
+                    # reference auto-saves the raw (untonemapped) framebuffer
+                    save_ldr(out_filename, np.asarray(renderer.framebuffer()), flip=True, alpha=True)
+                    print(f"\n{out_filename} written.")
+            else:
+                time.sleep(0.1)  # 10 fps idle (main.cpp:515)
+    except KeyboardInterrupt:
+        print("\nexiting.")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     renderer = Renderer()
@@ -80,6 +132,8 @@ def main(argv: list[str] | None = None) -> int:
     interactive = True
     out_filename = "output.png"
     width, height = 1024, 1024
+    animate = False
+    animation_fps = 30.0
     paths: list[str] = []
     pending: list[tuple] = []  # deferred flag applications, in order
 
@@ -174,6 +228,10 @@ def main(argv: list[str] | None = None) -> int:
             renderer.engine = "oracle"
         elif arg == "--engine":
             renderer.engine = take()
+        elif arg == "--animate":
+            animate = True
+        elif arg == "--fps":
+            animation_fps = float(take())
         elif os.path.exists(arg):
             paths.append(arg)
         else:
@@ -227,11 +285,7 @@ def main(argv: list[str] | None = None) -> int:
     renderer.reset()
 
     if interactive:
-        print(
-            "note: interactive viewing is not supported headless; "
-            "rendering one frame to "
-            f"{out_filename} (use --render for the offline loop)"
-        )
+        return _interactive_loop(renderer, out_filename, animate, animation_fps)
     # offline render loop (main.cpp:524-558)
     print("rendering...")
     for frame in range(renderer.volume.n_grid_frames()):
