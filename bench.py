@@ -23,6 +23,9 @@ RES = int(os.environ.get("BENCH_RES", "1024"))
 SPP = int(os.environ.get("BENCH_SPP", "32"))
 BOUNCES = int(os.environ.get("BENCH_BOUNCES", "100"))
 USE_TF = os.environ.get("BENCH_TF", "0") == "1"  # BASELINE config 2 variant
+# BASELINE config 3 stand-in: point at a heavyweight volume (e.g. generated
+# by scripts/make_cloud.py) instead of the bundled smoke plume
+VOLUME = os.environ.get("BENCH_VOLUME", "/root/reference/data/smoke.brick")
 
 
 def _watchdog(seconds):
@@ -34,7 +37,7 @@ def _watchdog(seconds):
         print(
             json.dumps(
                 {
-                    "metric": f"spp/sec @ {RES}x{RES} smoke.brick (wavefront DDA, {BOUNCES} bounces)",
+                    "metric": f"spp/sec @ {RES}x{RES} (wavefront DDA, {BOUNCES} bounces)",
                     "value": 0.0,
                     "unit": "spp/s",
                     "vs_baseline": 0.0,
@@ -58,7 +61,7 @@ def main():
     from volren_tpu.voldata import Volume
 
     r = Renderer()
-    r.volume = Volume("/root/reference/data/smoke.brick")
+    r.volume = Volume(VOLUME)
     r.scale_and_move_to_unit_cube()
     r.set_environment(Environment("/root/reference/data/table_mountain_2_puresky_1k.hdr"))
     if USE_TF:
@@ -83,7 +86,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"spp/sec @ {RES}x{RES} smoke.brick ({variant}, wavefront DDA, {BOUNCES} bounces)",
+                "metric": f"spp/sec @ {RES}x{RES} {os.path.basename(VOLUME)} ({variant}, wavefront DDA, {BOUNCES} bounces)",
                 "value": round(spp_per_sec, 3),
                 "unit": "spp/s",
                 "vs_baseline": round(spp_per_sec / NOMINAL_REFERENCE_SPP_S, 3),
