@@ -112,3 +112,47 @@ def test_lookup_environment_poles(table_mountain_env):
     # zenith row of the image (stored flipped: last v-order row)
     top_row = table_mountain_env.envmap[-1].mean(axis=0)
     assert np.allclose(le[0], top_row, rtol=0.2, atol=0.05)
+
+
+@pytest.mark.parametrize("g", [0.0, 0.6, -0.4])
+def test_hg_sampling_chi_square(g):
+    """Chi-square of sampled cos(theta) against the HG pdf."""
+    n = 200_000
+    u2 = _u2(n, stream=int(g * 100) + 40)
+    d = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (n, 3))
+    cos_t = np.asarray(P.sample_phase_henyey_greenstein(d, g, u2))[:, 2]
+    bins = np.linspace(-1, 1, 41)
+    hist, _ = np.histogram(cos_t, bins=bins)
+
+    # numeric (robust) bin probabilities via fine quadrature. NOTE the
+    # convention: phase_henyey_greenstein takes dot(-incoming, outgoing)
+    # (common.glsl:618), i.e. -cos of the forward angle histogrammed here
+    fine = np.linspace(-1, 1, 20001)
+    pdf_fine = 2 * np.pi * np.asarray(P.phase_henyey_greenstein(jnp.asarray(-fine), g))
+    cum = np.concatenate([[0], np.cumsum((pdf_fine[1:] + pdf_fine[:-1]) / 2 * np.diff(fine))])
+    cum /= cum[-1]
+    probs = np.diff(np.interp(bins, fine, cum))
+    expect = probs * n
+    chi2 = float(((hist - expect) ** 2 / np.maximum(expect, 1)).sum())
+    # 40 bins -> dof ~39; mean 39, std ~8.8; allow 6 sigma
+    assert chi2 < 39 + 6 * np.sqrt(2 * 39), chi2
+
+
+def test_warp_texel_distribution_matches_importance(table_mountain_env):
+    """The hierarchical warp must pick texels with probability w/(N*avg) —
+    verified on a coarse binning of the importance map."""
+    env = dscene.upload_environment(table_mountain_env)
+    n = 262144
+    uvx, uvy = [], []
+    le, pdf, w = jax.jit(E.sample_environment)(env, _u2(n, 77))
+    # recover uv from direction: v = 1 - acos(y)/pi, u = atan2(z,x)/2pi + .5
+    wd = np.asarray(w)
+    u = np.arctan2(wd[:, 2], wd[:, 0]) / (2 * np.pi) + 0.5
+    v = 1.0 - np.arccos(np.clip(wd[:, 1], -1, 1)) / np.pi
+    base = np.asarray(env.imp_mips[0])
+    coarse = base.reshape(16, 32, 16, 32).mean(axis=(1, 3))  # 16x16 bins
+    p_expect = coarse / coarse.sum()
+    hist, _, _ = np.histogram2d(v, u, bins=16, range=[[0, 1], [0, 1]])
+    p_got = hist / n
+    # generous tolerance: absolute per-bin deviation
+    assert np.abs(p_got - p_expect).max() < 0.01, np.abs(p_got - p_expect).max()

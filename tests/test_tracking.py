@@ -171,3 +171,38 @@ def test_tf_dda_vs_delta_tracking_agree(random_grid16):
     )
     ma, mb = float(np.asarray(tr_a).mean()), float(np.asarray(tr_b).mean())
     assert abs(ma - mb) < 0.01, (ma, mb)
+
+
+def test_rotated_volume_estimators_agree(random_grid16):
+    """Non-axis-aligned grid transform: world->index mapping and DDA still
+    agree with global-majorant tracking."""
+    c, s = np.cos(np.radians(30)), np.sin(np.radians(30))
+    rot = np.array(
+        [[c, -s, 0, 2.0], [s, c, 0, -1.0], [0, 0, 1.5, 0.5], [0, 0, 0, 1.0]],
+        np.float32,
+    )
+    scene, params = make_scene(random_grid16, density_scale=0.4, transform=rot)
+    # world AABB of the rotated grid
+    from volren_tpu.voldata import build_brick_grid
+
+    bg = build_brick_grid(random_grid16, rot)
+    lo, hi = bg.world_aabb()
+    params = params._replace(bb_min=jnp.asarray(lo), bb_max=jnp.asarray(hi))
+    n = 30_000
+    rng = np.random.default_rng(5)
+    center = (lo + hi) / 2
+    radius = float(np.linalg.norm(hi - lo)) * 0.7
+    org = jnp.asarray((center + rng.normal(size=(n, 3)) * radius).astype(np.float32))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    d = jnp.asarray(d.astype(np.float32))
+    active = jnp.ones(n, bool)
+    tr_a, _ = jax.jit(functools.partial(T.transmittance, cfg=CFG))(
+        scene, params, org=org, direction=d, seed=seeds(n, 21), active=active
+    )
+    tr_b, _ = jax.jit(functools.partial(T.transmittance_dda, cfg=CFG_DDA))(
+        scene, params, org=org, direction=d, seed=seeds(n, 22), active=active
+    )
+    ma, mb = float(np.asarray(tr_a).mean()), float(np.asarray(tr_b).mean())
+    assert abs(ma - mb) < 0.01, (ma, mb)
+    assert 0.05 < ma < 0.999
