@@ -232,6 +232,8 @@ def main(argv: list[str] | None = None) -> int:
             animate = True
         elif arg == "--fps":
             animation_fps = float(take())
+        elif arg == "--distribute":
+            pending.append(("distribute",))
         elif os.path.exists(arg):
             paths.append(arg)
         else:
@@ -271,6 +273,8 @@ def main(argv: list[str] | None = None) -> int:
         elif item[0] == "tf_width" and renderer.transferfunc:
             renderer.transferfunc.window_width = item[1]
             renderer.set_transferfunc(renderer.transferfunc)
+        elif item[0] == "distribute":
+            renderer.distribute()
         elif item[0] == "vol_rot":
             axis, deg = item[1], item[2]
             c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))

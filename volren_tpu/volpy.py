@@ -94,6 +94,9 @@ def mat4(*args):
 Volume = _Volume
 Environment = _Environment
 TransferFunction = _TransferFunction
+# buffer-protocol image type of the reference bindings (bindings.cpp:69-80);
+# numpy arrays serve the same role here
+ImageDataFloat = np.ndarray
 
 _bound: dict = {"renderer": None}
 
