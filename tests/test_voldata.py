@@ -133,3 +133,28 @@ def test_native_builder_matches_numpy(random_grid16):
     np.testing.assert_array_equal(g_nat.atlas, g_np.atlas)
     for a, b in zip(g_nat.range_mips, g_np.range_mips):
         np.testing.assert_array_equal(a, b)
+
+
+def test_dense_file_roundtrip(tmp_path):
+    from volren_tpu.voldata.brick_io import read_dense, write_dense
+
+    rng = np.random.default_rng(4)
+    g = DenseGrid(5, 6, 7, rng.random(5 * 6 * 7).astype(np.float32))
+    g.transform = np.diag([2.0, 1.0, 0.5, 1.0]).astype(np.float32)
+    p = str(tmp_path / "rt.dense")
+    write_dense(p, g)
+    g2 = read_dense(p)
+    np.testing.assert_array_equal(g2.data, g.data)
+    np.testing.assert_allclose(g2.transform, g.transform)
+    # extension dispatch through Volume
+    v = Volume(p)
+    assert tuple(v.current_grid().index_extent()) == (5, 6, 7)
+
+
+def test_buf3d_container():
+    from volren_tpu.voldata import Buf3D
+
+    arr = np.arange(24, dtype=np.float32).reshape(2, 3, 4)  # (z, y, x)
+    buf = Buf3D.from_array(arr)
+    assert buf.stride == (4, 3, 2)
+    assert buf.n_elements == 24
