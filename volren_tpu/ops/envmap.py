@@ -42,11 +42,17 @@ def texture_env(env: EnvDevice, u, v):
     return env.strength * _bilinear(env.envmap, u, v)
 
 
-def lookup_environment(env: EnvDevice, direction):
-    """Radiance along a world-space direction (common.glsl:93-98)."""
-    idir = direction @ env.inv_transform.T
+def dir_to_uv(inv_transform, direction):
+    """World direction -> equirect (u, v) (common.glsl:93-96)."""
+    idir = direction @ inv_transform.T
     u = jnp.arctan2(idir[..., 2], idir[..., 0]) / (2.0 * M_PI) + 0.5
     v = 1.0 - jnp.arccos(jnp.clip(idir[..., 1], -1.0, 1.0)) / M_PI
+    return u, v
+
+
+def lookup_environment(env: EnvDevice, direction):
+    """Radiance along a world-space direction (common.glsl:93-98)."""
+    u, v = dir_to_uv(env.inv_transform, direction)
     return texture_env(env, u, v)
 
 

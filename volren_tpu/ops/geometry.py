@@ -6,11 +6,16 @@ All functions are batched over a leading lane axis N and jit-friendly.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 M_PI = 3.14159265358979323846
 INV_4PI = 1.0 / (4.0 * M_PI)
 
-LUMA_W = jnp.array([0.212671, 0.715160, 0.072169], dtype=jnp.float32)
+# MUST be a host (numpy) constant, never a jax.Array: a jitted program that
+# closes over a pre-existing device array permanently degrades this runtime
+# session ~500x for ALL subsequent programs (measured; see NOTES.md "device
+# constant latch"). Host constants lower to plain HLO literals and are safe.
+LUMA_W = np.array([0.212671, 0.715160, 0.072169], dtype=np.float32)
 
 
 def luma(col):

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import rng as _rng
-from .envmap import sample_environment_alias
+from .envmap import _bilinear, dir_to_uv, sample_environment_alias
 from .geometry import (
     M_PI,
     INV_4PI,
@@ -86,34 +86,10 @@ def _w3(mask, a, b):
     return jnp.where(mask[..., None], a, b)
 
 
-def _env_bilinear_rows(envmap, u, v):
-    """4-tap bilinear fetch of (H, W, 3) rows (u wraps, v clamps)."""
-    h, w = envmap.shape[0], envmap.shape[1]
-    x = u * w - 0.5
-    y = v * h - 0.5
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    x0w = jnp.mod(x0, w)
-    x1w = jnp.mod(x0 + 1, w)
-    y0c = jnp.clip(y0, 0, h - 1)
-    y1c = jnp.clip(y0 + 1, 0, h - 1)
-    flat = envmap.reshape(h * w, 3)
-
-    def tap(yy, xx):
-        return flat.at[yy * w + xx].get(mode="promise_in_bounds")
-
-    top = tap(y0c, x0w) * (1 - fx) + tap(y0c, x1w) * fx
-    bot = tap(y1c, x0w) * (1 - fx) + tap(y1c, x1w) * fx
-    return top * (1 - fy) + bot * fy
-
-
-def _dir_to_uv(env_inv_transform, direction):
-    idir = direction @ env_inv_transform.T
-    u = jnp.arctan2(idir[..., 2], idir[..., 0]) / (2.0 * M_PI) + 0.5
-    v = 1.0 - jnp.arccos(jnp.clip(idir[..., 1], -1.0, 1.0)) / M_PI
-    return u, v
+# envmap fetch helpers live in ops.envmap (single definition of the
+# parity-critical math); keep the old local names as aliases
+_env_bilinear_rows = _bilinear
+_dir_to_uv = dir_to_uv
 
 
 def _setup_ray(s, inv_transform, bb_min, bb_max, org, direction, mask):
@@ -135,20 +111,24 @@ def _setup_ray(s, inv_transform, bb_min, bb_max, org, direction, mask):
     return s
 
 
-def init_state(width: int, height: int, row0: int = 0):
+def init_state(width: int, height: int, row0: int = 0, reps: int = 1):
     """Fresh lane state for a width x height tile.
+
+    ``reps`` > 1 replicates the pixel grid (lane order: rep-major) for
+    spp-sharded rendering — each replica traces a disjoint sample range.
 
     Pixel coordinates are precomputed here (eagerly) and carried in the
     state ON PURPOSE: computing them in a phase body constant-folds into
     large array literals, and big embedded literals degrade this runtime.
+    Call this OUTSIDE jit and pass the state in as an argument.
     """
-    n = width * height
+    n = width * height * reps
     f32, i32 = jnp.float32, jnp.int32
     zeros = jnp.zeros((n,), f32)
     zeros3 = jnp.zeros((n, 3), f32)
     lane_local = jnp.arange(n, dtype=jnp.int32)
     px = lane_local % width
-    py = lane_local // width + row0
+    py = (lane_local // width) % height + row0
     return {
         "px": px,
         "py": py,
@@ -576,44 +556,77 @@ def render_wavefront_host(
 
 
 # ----------------------------------------------------------------------------
-# fully-device variant (for shard_map / compile checks / tests)
+# fully-device engine (the DEFAULT fast path): one jitted program runs the
+# whole wavefront loop. The lane state MUST be built eagerly (init_state)
+# and passed in as an argument — building it inside jit constant-folds the
+# pixel-coordinate iota math into multi-hundred-KB HLO literals, and this
+# runtime degrades ~500x (session-wide!) on programs carrying big literals
+# or closed-over device arrays (see NOTES.md "device constant latch").
 # ----------------------------------------------------------------------------
 
 
-def render_wavefront_tile(
-    scene, params, cfg, width, height, spp, spp_base, row0, full_height
-):
-    """Render a tile entirely inside one jit: lax.while_loop over the same
-    step body (slower per-gather than the host-stepped driver; used where
-    everything must live in a single computation, e.g. shard_map).
-    Returns ((height, width, 4) sample SUM, iteration count)."""
+def _tile_loop(state, scene, params, cfg, width, spp, spp_base, full_height, k_march):
+    """while_loop over step groups: regen -> K march microsteps -> nee ->
+    finish. Per-lane sample streams are independent of k_march (lanes with
+    a pending event sit out remaining microsteps), so all engines produce
+    bit-identical samples. Returns (final state, iteration count)."""
+
+    # safety bound: runaway lanes (fp pathologies) must not hang renders;
+    # a sample needs on the order of bounces x DDA-steps / k_march groups
+    max_iters = jnp.int32(4096) + jnp.int32(512) * jnp.asarray(spp, jnp.int32)
 
     def cond(c):
         s, it = c
-        return ((s["mode"] != MODE_INACTIVE).any()) & (it < jnp.int32(2_000_000_000))
+        return ((s["mode"] != MODE_INACTIVE).any()) & (it < max_iters)
 
     def body(c):
         s, it = c
-        s = step_body(s, scene, params, cfg, width, spp, spp_base, full_height, 1)
+        s = step_body(s, scene, params, cfg, width, spp, spp_base, full_height, k_march)
         return s, it + 1
 
-    state = init_state(width, height, row0)
-    state, it = lax.while_loop(cond, body, (state, jnp.int32(0)))
+    return lax.while_loop(cond, body, (state, jnp.int32(0)))
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "full_height", "k_march"))
+def _render_tile_jit(state, scene, params, cfg, width, spp, spp_base, full_height, k_march):
+    state, it = _tile_loop(state, scene, params, cfg, width, spp, spp_base, full_height, k_march)
+    return state["accum"], it
+
+
+def _default_k_march():
+    return DEFAULT_K_MARCH if jax.default_backend() == "tpu" else 4
+
+
+def render_wavefront_tile(
+    scene, params, cfg, width, height, spp, spp_base, row0, full_height,
+    state=None, k_march=1,
+):
+    """Render a tile inside one computation. When traced inside another jit
+    (e.g. tests), the state is built at trace time — fine for tiny tiles
+    only; production callers pass an eagerly-built ``state``.
+    Returns ((height, width, 4) sample SUM, iteration count)."""
+    if state is None:
+        state = init_state(width, height, row0)
+    state, it = _tile_loop(state, scene, params, cfg, width, spp, spp_base, full_height, k_march)
     return state["accum"].reshape(height, width, 4), it
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "height"))
-def render_wavefront(scene, params, cfg, width, height, spp, spp_base):
+def render_wavefront(scene, params, cfg, width, height, spp, spp_base, k_march=None):
     """Single-jit full-frame render: SUM of spp samples, (H, W, 4)."""
-    acc, _it = render_wavefront_tile(
-        scene, params, cfg, width, height, spp, spp_base, jnp.int32(0), full_height=height
+    acc, _it = render_wavefront_stats(
+        scene, params, cfg, width, height, spp, spp_base, k_march
     )
     return acc
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "height"))
-def render_wavefront_stats(scene, params, cfg, width, height, spp, spp_base):
+def render_wavefront_stats(scene, params, cfg, width, height, spp, spp_base, k_march=None):
     """render_wavefront + device-loop iteration count (perf diagnosis)."""
-    return render_wavefront_tile(
-        scene, params, cfg, width, height, spp, spp_base, jnp.int32(0), full_height=height
+    if k_march is None:
+        k_march = _default_k_march()
+    state = init_state(width, height)
+    acc, it = _render_tile_jit(
+        state, scene, params, cfg, width,
+        jnp.asarray(spp, jnp.int32), jnp.asarray(spp_base, jnp.int32),
+        height, k_march,
     )
+    return acc.reshape(height, width, 4), it

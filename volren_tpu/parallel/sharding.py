@@ -20,7 +20,7 @@ import jax
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.megakernel import render_wavefront_tile
 
@@ -36,44 +36,65 @@ def make_mesh(n_tiles: int | None = None, n_spp: int = 1, devices=None) -> Mesh:
     return Mesh(np.asarray(devices).reshape(n_tiles, n_spp), ("tiles", "spp"))
 
 
-def render_sharded(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh):
+def render_sharded(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh,
+                   k_march=None):
     """Render a full frame across ``mesh``; returns the (H, W, 4) sample SUM
-    (same contract as ops.megakernel.render_wavefront)."""
+    (same contract as ops.megakernel.render_wavefront).
+
+    TPU-native SPMD: the lane state is built EAGERLY (device constants and
+    in-jit iota literals degrade this runtime, see megakernel module doc),
+    replicated ``n_spp`` times (disjoint per-replica sample ranges carried
+    as a per-lane spp_base vector), laid out rep-major so a flat
+    P(("spp", "tiles")) sharding gives device (si, ti) its row band of
+    sample batch si, and merged with an ICI psum over the spp axis."""
+    from ..ops import megakernel as M
+
     n_tiles = mesh.shape["tiles"]
     n_spp = mesh.shape["spp"]
     assert height % n_tiles == 0, f"height {height} not divisible by {n_tiles} tiles"
     assert spp % n_spp == 0, f"spp {spp} not divisible by {n_spp} spp shards"
-    local_h = height // n_tiles
     local_spp = spp // n_spp
+    if k_march is None:
+        k_march = M._default_k_march()
 
-    def shard_fn(scene, params, spp_base_arr):
-        ti = lax.axis_index("tiles")
-        si = lax.axis_index("spp")
-        row0 = (ti * local_h).astype(jnp.int32)
-        base = spp_base_arr + si.astype(jnp.int32) * jnp.int32(local_spp)
-        acc, _it = render_wavefront_tile(
-            scene,
-            params,
-            cfg,
-            width,
-            local_h,
-            jnp.int32(local_spp),
-            base,
-            row0,
-            full_height=height,
+    lane_spec = P(("spp", "tiles"))
+    shard1 = NamedSharding(mesh, lane_spec)
+    shard2 = NamedSharding(mesh, P(("spp", "tiles"), None))
+    repl = NamedSharding(mesh, P())
+
+    state = M.init_state(width, height, reps=n_spp)
+    state = {k: jax.device_put(v, shard2 if v.ndim == 2 else shard1)
+             for k, v in state.items()}
+    n_pix = width * height
+    base_vec = jax.device_put(
+        jnp.asarray(
+            (np.arange(n_pix * n_spp) // n_pix) * local_spp + int(spp_base),
+            jnp.int32,
+        ),
+        shard1,
+    )
+    scene = jax.device_put(scene, repl)
+    params = jax.device_put(params, repl)
+
+    def shard_fn(state, scene, params, base_vec):
+        s, _it = M._tile_loop(
+            state, scene, params, cfg, width,
+            jnp.int32(local_spp), base_vec, height, k_march,
         )
-        return lax.psum(acc, "spp")
+        return lax.psum(s["accum"], "spp")
 
     fn = jax.jit(
         jax.shard_map(
             shard_fn,
             mesh=mesh,
-            in_specs=(P(), P(), P()),
-            out_specs=P("tiles", None, None),
+            in_specs=(lane_spec, P(), P(), lane_spec),
+            out_specs=lane_spec,
             check_vma=False,
         )
     )
-    return fn(scene, params, jnp.asarray(spp_base, jnp.int32))
+    acc = fn(state, scene, params, base_vec)
+    # after the psum every spp replica holds the merged sum; take replica 0
+    return acc[:n_pix].reshape(height, width, 4)
 
 
 def render_sharded_host(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh, **kw):

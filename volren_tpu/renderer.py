@@ -10,6 +10,8 @@ brick grids (renderer.cpp:56-76); draw() applies the Hable tonemap.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,6 +68,10 @@ class Renderer:
         # (the TPU performance path); "oracle": literal port of the GLSL
         # nested-loop structure (slow, used for cross-validation)
         self.engine = "wavefront"
+        # "device": the whole wavefront loop runs in ONE jitted program
+        # (fast path — no per-step dispatch overhead); "host": phase
+        # programs dispatched from a host loop (interruptible)
+        self.step_engine = os.environ.get("VOLREN_STEP_ENGINE", "device")
         # optional jax.sharding.Mesh: shards the wavefront state row-wise
         # across devices (set via distribute())
         self.mesh = None
@@ -186,9 +192,9 @@ class Renderer:
                     "for the global-majorant estimators"
                 )
             if self.mesh is not None:
-                from .parallel.sharding import render_sharded_host
+                from .parallel.sharding import render_sharded
 
-                accum = render_sharded_host(
+                accum = render_sharded(
                     self._scene_device(),
                     self._trace_params(),
                     self._config(),
@@ -198,8 +204,22 @@ class Renderer:
                     self.sample,
                     self.mesh,
                 )
-            else:
+            elif self.step_engine == "host":
+                # host-stepped phase dispatch: slower (per-dispatch tunnel
+                # overhead) but interruptible between steps
                 accum = render_wavefront_host(
+                    self._scene_device(),
+                    self._trace_params(),
+                    self._config(),
+                    self._width,
+                    self._height,
+                    int(spp),
+                    self.sample,
+                )
+            else:
+                from .ops.megakernel import render_wavefront
+
+                accum = render_wavefront(
                     self._scene_device(),
                     self._trace_params(),
                     self._config(),
