@@ -34,12 +34,29 @@ def load_vgg11_params(seed=0):
     """Conv weights from torchvision's cached VGG11 if available, else
     He-initialized random filters."""
     try:
+        import glob
+
         import torch
+
+        # look for an already-downloaded checkpoint ONLY: calling
+        # torchvision with weights=DEFAULT would try to download and hang
+        # forever in a zero-egress environment (no exception to catch)
+        hub_dir = os.environ.get(
+            "TORCH_HOME", os.path.expanduser("~/.cache/torch")
+        )
+        cached = glob.glob(os.path.join(hub_dir, "hub", "checkpoints", "vgg11-*.pth"))
+        if not cached:
+            raise FileNotFoundError("no cached vgg11 checkpoint")
         import torchvision
 
-        model = torchvision.models.vgg11(
-            weights=torchvision.models.vgg.VGG11_Weights.DEFAULT
-        ).features
+        model = torchvision.models.vgg11().features
+        model.load_state_dict(
+            {
+                k.removeprefix("features."): v
+                for k, v in torch.load(cached[0], map_location="cpu").items()
+                if k.startswith("features.")
+            }
+        )
         params = []
         for layer in model.children():
             if isinstance(layer, torch.nn.Conv2d):
@@ -137,7 +154,15 @@ def main():
     p.add_argument("--style", type=float, default=3000.0)
     p.add_argument("--noise", action="store_true")
     p.add_argument("--output", default="styletransfer.png")
+    p.add_argument(
+        "--cpu",
+        action="store_true",
+        help="force the CPU backend (the JAX_PLATFORMS env var is overridden "
+        "by this environment's TPU site hook, so tests pass a flag instead)",
+    )
     args = p.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     content = load_image(args.content_path)
     style = load_image(args.style_path)

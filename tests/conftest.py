@@ -22,6 +22,14 @@ import pytest
 REFERENCE_DATA = "/root/reference/data"
 
 
+def pytest_collection_modifyitems(items):
+    """Every test not explicitly marked slow is fast: `pytest -m fast` is
+    the sub-minute dev loop, `-m slow` the heavy render tier."""
+    for item in items:
+        if item.get_closest_marker("slow") is None:
+            item.add_marker(pytest.mark.fast)
+
+
 @pytest.fixture(scope="session")
 def smoke_brick():
     from volren_tpu.voldata import read_brick

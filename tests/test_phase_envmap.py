@@ -76,7 +76,7 @@ def test_alias_matches_warp_distribution(table_mountain_env):
     env = dscene.upload_environment(table_mountain_env)
     n = 131072
     _, pdf_w, w_w = jax.jit(E.sample_environment)(env, _u2(n, 11))
-    _, _, pdf_a, w_a = jax.jit(E.sample_environment_alias)(env, _u2(n, 12))
+    _, _, pdf_a, w_a, _le = jax.jit(E.sample_environment_alias)(env, _u2(n, 12))
     # compare direction histograms over latitude bands
     for w, name in ((w_w, "warp"), (w_a, "alias")):
         pass
@@ -95,7 +95,7 @@ def test_alias_pdf_consistency(table_mountain_env):
     sampled texel."""
     env = dscene.upload_environment(table_mountain_env)
     n = 8192
-    uv_x, uv_y, pdf, _ = jax.jit(E.sample_environment_alias)(env, _u2(n, 21))
+    uv_x, uv_y, pdf, _, _le = jax.jit(E.sample_environment_alias)(env, _u2(n, 21))
     base = np.asarray(env.imp_mips[0])
     dim = base.shape[0]
     px = np.clip((np.asarray(uv_x) * dim).astype(int), 0, dim - 1)

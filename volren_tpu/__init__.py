@@ -12,14 +12,18 @@ __version__ = "0.1.0"
 
 import os as _os
 
-# persistent XLA compilation cache: the tracer's nested scan/while graphs
-# take 20-200 s to compile cold; cache hits bring reruns to < 1 s
+# persistent XLA compilation cache: the unrolled megastep programs take
+# 20-600 s to compile cold; cache hits bring reruns to seconds. Set through
+# jax.config (not env vars) because the host site hook may import jax long
+# before this package, baking the env-derived defaults.
 if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+    import jax as _jax
+
     _cache = _os.path.join(_os.path.expanduser("~"), ".cache", "volren_tpu_xla")
     _os.makedirs(_cache, exist_ok=True)
-    _os.environ["JAX_COMPILATION_CACHE_DIR"] = _cache
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
-    _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    _jax.config.update("jax_compilation_cache_dir", _cache)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 # VOLREN_PLATFORM=cpu|tpu forces the JAX backend. Needed because the host
 # environment's site hook imports jax before user code runs, so the usual

@@ -11,12 +11,15 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .gather import vgather
 from .geometry import M_PI, INV_4PI, luma
 from .scene import EnvDevice
 
 
 def _bilinear(img, u, v):
-    """GL-style bilinear: u wraps, v clamps. img rows in v-order."""
+    """GL-style bilinear: u wraps, v clamps. img is (H, W, C) interleaved,
+    rows in v-order — TPU gathers scalarize per ROW (width-independent), so
+    one C-wide row gather per tap is the cheapest fetch (EnvDevice.envmap)."""
     h, w = img.shape[0], img.shape[1]
     x = u * w - 0.5
     y = v * h - 0.5
@@ -31,7 +34,7 @@ def _bilinear(img, u, v):
     flat = img.reshape(h * w, -1)
 
     def tap(yy, xx):
-        return flat.at[yy * w + xx].get(mode="promise_in_bounds")
+        return vgather(flat, yy * w + xx)
 
     top = tap(y0c, x0w) * (1 - fx) + tap(y0c, x1w) * fx
     bot = tap(y1c, x0w) * (1 - fx) + tap(y1c, x1w) * fx
@@ -39,7 +42,7 @@ def _bilinear(img, u, v):
 
 
 def texture_env(env: EnvDevice, u, v):
-    return env.strength * _bilinear(env.envmap, u, v)
+    return env.strength * _bilinear(env.envmap, u, v)[..., :3]
 
 
 def dir_to_uv(inv_transform, direction):
@@ -78,7 +81,7 @@ def sample_environment(env: EnvDevice, u2):
         idx = py * dim + px
 
         def tap(i):
-            return flat.at[i].get(mode="promise_in_bounds")
+            return vgather(flat, i)
 
         w0 = tap(idx)  # (+0, +0)
         w1 = tap(idx + 1)  # (+1, +0)
@@ -109,7 +112,7 @@ def sample_environment(env: EnvDevice, u2):
     le = texture_env(env, uv_x, uv_y)
     avg_w = env.imp_mips[-1].reshape(())
     base = env.imp_mips[0].reshape(-1)
-    pdf = base.at[py * env.imp_mips[0].shape[1] + px].get(mode="promise_in_bounds") / avg_w
+    pdf = vgather(base, py * env.imp_mips[0].shape[1] + px) / avg_w
     return le, pdf * INV_4PI, w_i
 
 
@@ -120,19 +123,22 @@ def sample_environment_alias(env: EnvDevice, u2):
     box-filtered pyramid telescopes to P(texel) = w / (N * avg)) with the
     same uniform in-texel jitter, but in constant work per sample — the
     device-loop-friendly replacement for the 9-level warp. Returns
-    (uv_x, uv_y, pdf, w_i) — radiance lookup left to the caller so it can be
-    batched with other envmap fetches.
+    (uv_x, uv_y, pdf, w_i, le_texel): le_texel is the selected texel's
+    box-filtered radiance carried in the alias row (zero extra gathers —
+    used by the TPU fast path, TraceConfig.env_nearest_nee; exact callers
+    do a bilinear fetch at (uv_x, uv_y) instead).
     """
     dim = env.imp_mips[0].shape[0]
     n = dim * dim
     scaled = u2[..., 0] * n
     j = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
     frac_x = scaled - j.astype(jnp.float32)
-    row = env.alias_packed.at[j].get(mode="promise_in_bounds")  # single gather
+    row = vgather(env.alias_packed, j)  # single gather
     prob = row[..., 0]
     keep = u2[..., 1] < prob
     texel = jnp.where(keep, j, row[..., 1].astype(jnp.int32))
     pdf = jnp.where(keep, row[..., 2], row[..., 3])
+    le_texel = jnp.where(keep[..., None], row[..., 4:7], row[..., 7:10])
     # conditional rescale keeps the second uniform usable as in-texel jitter
     frac_y = jnp.where(
         keep,
@@ -151,7 +157,7 @@ def sample_environment_alias(env: EnvDevice, u2):
         [sin_t * jnp.cos(phi), jnp.cos(theta), sin_t * jnp.sin(phi)], axis=-1
     )
     w_i = w_local @ env.transform.T
-    return uv_x, uv_y, pdf, w_i
+    return uv_x, uv_y, pdf, w_i, le_texel
 
 
 def pdf_environment(env: EnvDevice, direction):

@@ -1,0 +1,87 @@
+"""Vectorized gather primitive.
+
+On TPU, XLA emits a fast fully-vectorized kernel for a gather that stands
+alone, but a gather FUSED into a surrounding loop fusion is scalarized to
+~10 ns/element — a 100-1000x slowdown at wavefront scale (measured on this
+runtime; the render loop issues ~1M gathers per step). Wrapping the index
+and result in ``optimization_barrier`` keeps the gather out of neighbouring
+fusions so it lowers to the standalone (vectorized) form.
+
+The barrier only helps in straight-line (unrolled) code: inside a
+``lax.scan``/``while_loop`` body the gather scalarizes regardless, which is
+why the production TPU engine unrolls the wavefront step into megastep
+programs (ops.megakernel.render_wavefront_chunked) instead of looping on
+device.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+def bf16_round_up(values: np.ndarray) -> np.ndarray:
+    """Round float32 values UP (toward +inf) to the nearest bfloat16.
+
+    Used for majorant-class tables: a majorant must stay >= every density
+    it bounds, so the bf16 quantization used by the MXU one-hot gather path
+    must never round down. (The reference itself stores brick ranges in
+    half precision — voldata BrickGrid `range` textures — so quantized
+    conservative bounds are already part of the format's contract.)
+    """
+    v = np.asarray(values, np.float32)
+    bits = v.view(np.uint32)
+    trunc = bits & np.uint32(0xFFFF0000)
+    lost = (bits & np.uint32(0x0000FFFF)) != 0
+    pos = v > 0
+    # positive with lost bits: bump the bf16 mantissa; negative: truncation
+    # already rounds toward +inf
+    bumped = trunc + np.uint32(0x00010000)
+    out = np.where(lost & pos, bumped, trunc).astype(np.uint32)
+    return out.view(np.float32).astype(np.float32)
+
+
+def pack_onehot_table(flat_values: np.ndarray, round_up: bool = True):
+    """Pad a flat f32 table to an (A, 64) bfloat16 matrix for
+    ``onehot_gather``. Returns a jnp bf16 array."""
+    v = np.asarray(flat_values, np.float32).reshape(-1)
+    if round_up:
+        v = bf16_round_up(v)
+    a = -(-v.size // 64)
+    pad = np.zeros(a * 64, np.float32)
+    pad[: v.size] = v
+    return jnp.asarray(pad.reshape(a, 64), dtype=jnp.bfloat16)
+
+
+def onehot_gather(table_ab, idx):
+    """Vectorized gather via two-stage one-hot MXU matmuls.
+
+    TPU has no per-lane vector gather: XLA scalarizes `table[idx]` to
+    ~12 ns/element (measured), which dominates the render loop. Expressing
+    the gather as onehot(idx_hi) @ table followed by a masked row reduce
+    runs on the MXU at ~0.03 ms per 64K lanes — 13-20x faster. Exact for
+    values already representable in bf16 (see pack_onehot_table).
+
+    table_ab: (A, 64) bf16 from pack_onehot_table; idx: int32 in [0, A*64).
+    Returns float32 of idx's shape.
+    """
+    a = table_ab.shape[0]
+    hi = idx >> 6
+    lo = idx & 63
+    ohh = (hi[..., None] == jnp.arange(a, dtype=jnp.int32)).astype(jnp.bfloat16)
+    rows = ohh @ table_ab  # (..., 64)
+    ohl = (lo[..., None] == jnp.arange(64, dtype=jnp.int32)).astype(jnp.bfloat16)
+    return (rows * ohl).sum(-1).astype(jnp.float32)
+
+
+def vgather(flat, idx):
+    """flat[idx] with the gather isolated from surrounding fusions.
+
+    ``flat`` may be (T,) or (T, C); ``idx`` is any integer shape. Out of
+    bounds is the caller's responsibility (promise_in_bounds).
+    """
+    (idx,) = lax.optimization_barrier((idx,))
+    out = flat.at[idx].get(mode="promise_in_bounds")
+    (out,) = lax.optimization_barrier((out,))
+    return out

@@ -18,11 +18,8 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from . import rng as _rng
+from .gather import vgather as _gather
 from .scene import GridDevice
-
-
-def _gather(flat, idx):
-    return flat.at[idx].get(mode="promise_in_bounds")
 
 
 def _brick_index(grid: GridDevice, ipos):
@@ -51,10 +48,8 @@ def lookup_density_brick(grid: GridDevice, ipos):
     return meta[..., 1] + unorm * (meta[..., 2] - meta[..., 1])
 
 
-def lookup_majorant(grid: GridDevice, ipos, mip, density_scale):
-    """Per-region majorant from the packed min/max pyramid
-    (common.glsl:278-281). mip: (N,) int32 in [0, 3]; 0 reads the per-brick
-    range max. ONE gather regardless of mip."""
+def _majorant_index(grid: GridDevice, ipos, mip):
+    """Flat index into the packed majorant pyramid for (N,) mips in [0, 3]."""
     iipos = jnp.floor(ipos).astype(jnp.int32)
     dims = grid.mip_dims
     offs = grid.mip_offsets
@@ -66,6 +61,19 @@ def lookup_majorant(grid: GridDevice, ipos, mip, density_scale):
         bzm = jnp.clip(iipos[..., 2] >> (3 + m), 0, mz - 1)
         idx_m = offs[m] + (bzm * my + bym) * mx + bxm
         idx = jnp.where(mip == m, idx_m, idx)
+    return idx
+
+
+def lookup_majorant(grid: GridDevice, ipos, mip, density_scale, onehot=False):
+    """Per-region majorant from the packed min/max pyramid
+    (common.glsl:278-281). mip: (N,) int32 in [0, 3]; 0 reads the per-brick
+    range max. ``onehot`` routes the fetch through the MXU one-hot path
+    (bf16 round-up table, conservative — ops.gather.onehot_gather)."""
+    idx = _majorant_index(grid, ipos, mip)
+    if onehot:
+        from .gather import onehot_gather
+
+        return density_scale * onehot_gather(grid.mip_maj_oh, idx)
     return density_scale * _gather(grid.mip_maj, idx)
 
 

@@ -78,6 +78,7 @@ EV_EXT_EXIT = 2  # path ray left the volume
 EV_SH_HIT = 3  # shadow ray occluded
 EV_SH_EXIT = 4  # shadow ray visible
 EV_SCATTER = 5  # NEE skipped (pdf <= 0); go straight to scatter
+EV_TEST = 6  # tau crossed: parked for the batched density-test resolve
 
 DEFAULT_K_MARCH = 8
 
@@ -207,15 +208,20 @@ def phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height):
 
 def phase_march_body(s, scene, params, cfg, k_march):
     """K DDA micro-steps (sample_volumeDDA / transmittanceDDA march,
-    common.glsl:469-480): per step one majorant fetch + boundary step; on
-    tau crossings an inline density test classifies real/null collisions.
-    Real collisions and exits become pending events; lanes with a pending
-    event sit out the remaining unrolled steps."""
+    common.glsl:469-480) followed by ONE batched density-test resolve.
+
+    Each micro-step is majorant fetch + boundary step only (MXU one-hot
+    majorants when cfg.use_onehot); a tau crossing parks the lane with
+    EV_TEST and its stepped-back t. The test resolve then runs the
+    expensive fetches (stochastic-filter atlas decode, emission) once per
+    K micro-steps instead of once per micro-step. Per-lane draw order is
+    unchanged (parked lanes draw nothing while waiting), so the f32 path
+    is bit-identical to the inline-test formulation."""
     f32, i32 = jnp.float32, jnp.int32
     grid = scene.density
     s = dict(s)
     for _ in range(k_march):
-        mode, event, seed = s["mode"], s["event"], s["seed"]
+        mode, event = s["mode"], s["event"]
         t, far, tau, mip = s["t"], s["far"], s["tau"], s["mip"]
         ipos0, idir, ri = s["ipos0"], s["idir"], s["ri"]
 
@@ -224,11 +230,15 @@ def phase_march_body(s, scene, params, cfg, k_march):
 
         curr = ipos0 + t[..., None] * idir
         mip_i = jnp.round(mip).astype(i32)
-        maj = lookup_majorant(grid, curr, mip_i, params.density_scale)
+        maj = lookup_majorant(
+            grid, curr, mip_i, params.density_scale, onehot=cfg.use_onehot
+        )
         if cfg.use_tf:
-            from .transfer import tf_lookup
+            from .transfer import tf_alpha_majorant
 
-            maj = params.majorant * tf_lookup(scene.tf, maj * params.inv_majorant)[..., 3]
+            maj = params.majorant * tf_alpha_majorant(
+                scene.tf, maj * params.inv_majorant, onehot=cfg.use_onehot
+            )
         dim = (8 << mip_i).astype(f32)[..., None]
         offs = jnp.where(ri >= 0.0, dim + 0.5, -0.5)
         dt = ((jnp.floor(curr / dim) * dim + offs - curr) * ri).min(axis=-1)
@@ -245,41 +255,52 @@ def phase_march_body(s, scene, params, cfg, k_march):
         exited = march & (t >= far)
         test = collide & ~exited
 
-        pos_col = ipos0 + t[..., None] * idir
-        d, _rgba, seed = _density_at(scene, params, cfg, pos_col, seed, test)
-        le, seed = _add_emission(
-            scene,
-            params,
-            cfg,
-            pos_col,
-            d * params.inv_majorant,
-            s["throughput"],
-            s["L"],
-            seed,
-            test & is_extend,
-        )
-        seed, u_cls = _rng.rng_masked(seed, test)
-        real = test & (u_cls * jnp.maximum(maj, 0.0) < d)
-
-        # null collisions: redraw tau, drop mips, keep marching
-        redraw = test & ~real
-        seed, u_tau = _rng.rng_masked(seed, redraw)
-        tau = jnp.where(redraw, -jnp.log(1.0 - u_tau), jnp.where(march, tau_adv, tau))
-        mip = jnp.where(
-            redraw,
-            jnp.maximum(0.0, mip_up - MIP_SPEED_DOWN),
-            jnp.where(march, mip_up, mip),
-        )
+        tau = jnp.where(march & ~collide, tau_adv, tau)
+        mip = jnp.where(march & ~collide, mip_up, mip)
+        # park crossing lanes for the batched resolve; carry the majorant
+        # at the crossing in `tau` (dead there until the redraw)
+        tau = jnp.where(test, maj, tau)
+        mip = jnp.where(test, mip_up, mip)
         event = jnp.where(
-            real & is_extend,
-            EV_EXT_HIT,
-            jnp.where(
-                real & ~is_extend,
-                EV_SH_HIT,
-                jnp.where(exited, jnp.where(is_extend, EV_EXT_EXIT, EV_SH_EXIT), event),
-            ),
+            test,
+            EV_TEST,
+            jnp.where(exited, jnp.where(is_extend, EV_EXT_EXIT, EV_SH_EXIT), event),
         )
-        s.update(event=event, seed=seed, t=t, tau=tau, mip=mip, L=le)
+        s.update(event=event, t=t, tau=tau, mip=mip)
+
+    # ---- batched density-test resolve (once per K micro-steps) ----
+    mode, event, seed = s["mode"], s["event"], s["seed"]
+    t, tau, mip = s["t"], s["tau"], s["mip"]
+    is_extend = mode == MODE_EXTEND
+    test = event == EV_TEST
+    maj = jnp.where(test, tau, 0.0)  # parked majorant
+    pos_col = s["ipos0"] + t[..., None] * s["idir"]
+    d, _rgba, seed = _density_at(scene, params, cfg, pos_col, seed, test)
+    le, seed = _add_emission(
+        scene,
+        params,
+        cfg,
+        pos_col,
+        d * params.inv_majorant,
+        s["throughput"],
+        s["L"],
+        seed,
+        test & is_extend,
+    )
+    seed, u_cls = _rng.rng_masked(seed, test)
+    real = test & (u_cls * jnp.maximum(maj, 0.0) < d)
+
+    # null collisions: redraw tau, drop mips, resume marching next step
+    redraw = test & ~real
+    seed, u_tau = _rng.rng_masked(seed, redraw)
+    tau = jnp.where(redraw, -jnp.log(1.0 - u_tau), tau)
+    mip = jnp.where(redraw, jnp.maximum(0.0, mip - MIP_SPEED_DOWN), mip)
+    event = jnp.where(
+        real & is_extend,
+        EV_EXT_HIT,
+        jnp.where(real & ~is_extend, EV_SH_HIT, jnp.where(redraw, EV_NONE, event)),
+    )
+    s.update(event=event, seed=seed, tau=tau, mip=mip, L=le)
     return s
 
 
@@ -310,7 +331,7 @@ def phase_nee_body(s, scene, params, cfg):
     s["n_paths"] = s["n_paths"] + ext_hit.astype(i32)
 
     seed, u2n = _rng.rng2_masked(seed, ext_hit)
-    uv_x, uv_y, pdf_nee, w_i = sample_environment_alias(scene.env, u2n)
+    uv_x, uv_y, pdf_nee, w_i, le_texel = sample_environment_alias(scene.env, u2n)
     f_p = phase_henyey_greenstein(jnp.sum(-p_dir * w_i, axis=-1), params.phase_g)
     mis = jnp.where(
         params.show_environment > 0,
@@ -318,7 +339,12 @@ def phase_nee_body(s, scene, params, cfg):
         1.0,
     )
     has_nee = ext_hit & (pdf_nee > 0.0)
-    le = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)
+    if cfg.env_nearest_nee:
+        # radiance rides in the alias row (zero extra gathers; see
+        # TraceConfig.env_nearest_nee for the filtering tradeoff)
+        le = scene.env.strength * le_texel
+    else:
+        le = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)[..., :3]
     pending_new = throughput * (mis * f_p / jnp.maximum(pdf_nee, 1e-20))[..., None] * le
     s["pending"] = _w3(has_nee, pending_new, s["pending"])
     s["throughput"] = throughput
@@ -334,12 +360,17 @@ def phase_nee_body(s, scene, params, cfg):
     )
 
 
-def phase_finish_body(s, scene, params, cfg):
+def phase_finish_body(s, scene, params, cfg, do_escape=True):
     """Resolve shadow results, escapes and scatters: visible shadow rays
     commit the pending NEE contribution; escaped path rays add the
     environment with the MIS power heuristic (common.glsl:645-649); then
     bounce cap + Russian roulette + HG scatter (common.glsl:629-641), and
-    finished samples accumulate into the running sum."""
+    finished samples accumulate into the running sum.
+
+    ``do_escape=False`` parks EV_EXT_EXIT lanes for a later step — the
+    escape's 4-row bilinear environment fetch is the phase's dominant cost,
+    so the chunked engine runs it on alternating steps (escape lanes draw
+    nothing while parked: bit-identical output, slightly longer tails)."""
     f32, i32 = jnp.float32, jnp.int32
     s = dict(s)
     n = s["mode"].shape[0]
@@ -355,15 +386,18 @@ def phase_finish_body(s, scene, params, cfg):
     le = le + _w3(sh_vis, s["pending"], jnp.zeros((n, 3), f32))
 
     # escape: environment radiance with MIS
-    esc = event == EV_EXT_EXIT
-    uv_x, uv_y = _dir_to_uv(scene.env.inv_transform, p_dir)
-    le_env = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)
-    avg_w = scene.env.imp_mips[-1].reshape(())
-    pdf_esc = luma(le_env) / avg_w * INV_4PI
-    a2 = s["last_f_p"] * s["last_f_p"]
-    mis_esc = jnp.where(n_paths > 0, a2 / jnp.maximum(a2 + pdf_esc * pdf_esc, 1e-32), 1.0)
-    add_env = esc & free & (params.show_environment > 0)
-    le = le + _w3(add_env, throughput * mis_esc[..., None] * le_env, jnp.zeros((n, 3), f32))
+    if do_escape:
+        esc = event == EV_EXT_EXIT
+        uv_x, uv_y = _dir_to_uv(scene.env.inv_transform, p_dir)
+        le_env = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)[..., :3]
+        avg_w = scene.env.imp_mips[-1].reshape(())
+        pdf_esc = luma(le_env) / avg_w * INV_4PI
+        a2 = s["last_f_p"] * s["last_f_p"]
+        mis_esc = jnp.where(n_paths > 0, a2 / jnp.maximum(a2 + pdf_esc * pdf_esc, 1e-32), 1.0)
+        add_env = esc & free & (params.show_environment > 0)
+        le = le + _w3(add_env, throughput * mis_esc[..., None] * le_env, jnp.zeros((n, 3), f32))
+    else:
+        esc = jnp.zeros((n,), bool)
 
     # scatter
     scatter = sh_hit | sh_vis | (event == EV_SCATTER)
@@ -391,7 +425,8 @@ def phase_finish_body(s, scene, params, cfg):
     s["spp_done"] = s["spp_done"] + end.astype(i32)
     s["L"] = _w3(end, jnp.zeros((n, 3), f32), le)
     s["mode"] = jnp.where(end, MODE_REGEN, jnp.where(alive, MODE_EXTEND, s["mode"]))
-    s["event"] = jnp.where(event != EV_NONE, EV_NONE, s["event"])
+    processed = scatter | esc
+    s["event"] = jnp.where(processed, EV_NONE, s["event"])
     s["seed"] = seed
     s["throughput"] = throughput
     s["p_dir"] = p_dir
@@ -402,14 +437,15 @@ def phase_finish_body(s, scene, params, cfg):
     )
 
 
-def step_body(s, scene, params, cfg, width, spp, spp_base, full_height, k_march):
+def step_body(s, scene, params, cfg, width, spp, spp_base, full_height, k_march,
+              do_escape=True):
     """One full wavefront step = regen -> K march -> nee -> finish. Shared
     by the host-phase driver and the single-jit tile variant so both
-    produce bit-identical samples."""
+    produce bit-identical samples. See phase_finish_body for do_escape."""
     s = phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height)
     s = phase_march_body(s, scene, params, cfg, k_march)
     s = phase_nee_body(s, scene, params, cfg)
-    s = phase_finish_body(s, scene, params, cfg)
+    s = phase_finish_body(s, scene, params, cfg, do_escape=do_escape)
     return s
 
 
@@ -609,6 +645,95 @@ def render_wavefront_tile(
         state = init_state(width, height, row0)
     state, it = _tile_loop(state, scene, params, cfg, width, spp, spp_base, full_height, k_march)
     return state["accum"].reshape(height, width, 4), it
+
+
+# ----------------------------------------------------------------------------
+# chunked-unrolled engine (the TPU fast path).
+#
+# On TPU, XLA scalarizes gathers inside ANY device loop (lax.scan /
+# while_loop) to ~10 ns/element; the same gathers in straight-line code
+# (isolated with optimization_barrier, see ops.gather) lower to fully
+# vectorized kernels that are effectively free at wavefront scale. So the
+# production engine is a host loop over jitted MEGASTEPS: each megastep is
+# ``unroll`` wavefront steps unrolled into one straight-line program. The
+# per-dispatch overhead amortizes over the unroll factor; the activity
+# check (a scalar readback) runs every ``check_every`` megasteps.
+# ----------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "full_height", "k_march", "unroll"))
+def _megastep_jit(state, scene, params, cfg, width, spp, spp_base, full_height, k_march, unroll):
+    for i in range(unroll):
+        # escape resolution (the 4-row bilinear env fetch) on alternating
+        # steps only — odd phase so the megastep's LAST step always drains
+        # parked escape lanes
+        do_escape = (i % 2 == 1) or unroll == 1
+        state = step_body(state, scene, params, cfg, width, spp, spp_base,
+                          full_height, k_march, do_escape=do_escape)
+    # activity as a widened VECTOR output of the same program: a separate
+    # scalar-reduction program (the old _any_active) executes ~30x slower
+    # through this runtime, and scalar program outputs hit the same slow
+    # path (measured: 3.3 s/call vs ~0 inline)
+    n_active = jnp.broadcast_to(
+        (state["mode"] != MODE_INACTIVE).sum(dtype=jnp.int32), (8,)
+    )
+    return state, n_active
+
+
+def _default_unroll():
+    # TPU: amortize dispatch overhead over a long straight-line program.
+    # CPU (tests): small unroll keeps compile time negligible.
+    return 32 if jax.default_backend() == "tpu" else 4
+
+
+def render_wavefront_chunked(
+    scene,
+    params,
+    cfg,
+    width,
+    height,
+    spp,
+    spp_base,
+    row0=0,
+    full_height=None,
+    k_march=None,
+    unroll=None,
+    check_every=2,
+    state=None,
+):
+    """Host loop over unrolled megastep programs (see block comment above).
+    Sample streams are identical to the other engines (per-lane logic does
+    not depend on unroll/k_march grouping). Returns the (height, width, 4)
+    SUM of spp per-sample (L, alpha) values."""
+    full_height = height if full_height is None else full_height
+    if k_march is None:
+        k_march = _default_k_march()
+    if unroll is None:
+        unroll = _default_unroll()
+    spp = jnp.asarray(spp, jnp.int32)
+    spp_base = jnp.asarray(spp_base, jnp.int32)
+    max_steps = 4096 + 512 * int(spp)
+    if state is None:
+        state = init_state(width, height, row0)
+    steps = 0
+    import numpy as _np
+
+    while True:
+        for _ in range(check_every):
+            state, n_active = _megastep_jit(
+                state, scene, params, cfg, width, spp, spp_base,
+                full_height, k_march, unroll,
+            )
+        steps += check_every * unroll
+        stuck = int(_np.asarray(n_active)[0])  # forces sync once per group
+        if stuck == 0:
+            break
+        if steps > max_steps:
+            raise RuntimeError(
+                f"wavefront render did not converge after {steps} steps "
+                f"({stuck} lanes active)"
+            )
+    return state["accum"].reshape(height, width, 4)
 
 
 def render_wavefront(scene, params, cfg, width, height, spp, spp_base, k_march=None):

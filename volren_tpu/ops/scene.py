@@ -35,6 +35,10 @@ class GridDevice(NamedTuple):
     atlas: jnp.ndarray  # (n_slots, 512) uint8, voxel order (z, y, x)
     transform: jnp.ndarray  # (4, 4) index -> world (volume xform folded in)
     inv_transform: jnp.ndarray  # (4, 4) world -> index
+    # mip_maj repacked (A, 64) bf16 ROUNDED UP (conservative majorants) for
+    # the MXU one-hot gather path (ops.gather.onehot_gather) — scalarized
+    # gathers cost ~12 ns/elem on TPU, the one-hot matmul ~0.5 ns/elem
+    mip_maj_oh: jnp.ndarray = None
 
     @property
     def n_bricks(self):
@@ -60,7 +64,11 @@ class GridDevice(NamedTuple):
 
 
 class EnvDevice(NamedTuple):
-    envmap: jnp.ndarray  # (H, W, 3) float32, rows in v-order
+    # (H, W, 4) float32 rows [r, g, b, 0], rows in v-order. TPU gathers
+    # scalarize PER ROW (~12 ns/row regardless of row width, measured), so
+    # one interleaved 4-wide row gather per bilinear tap is 3x cheaper than
+    # per-channel planar fetches.
+    envmap: jnp.ndarray
     imp_mips: tuple  # (512^2, 256^2, ..., 1^2) float32
     transform: jnp.ndarray  # (3, 3)
     inv_transform: jnp.ndarray  # (3, 3)
@@ -68,9 +76,11 @@ class EnvDevice(NamedTuple):
     # O(1) texel sampling (Vose alias table over imp_mips[0]); draws the
     # exact same texel distribution as the hierarchical mip warp — the warp's
     # box-filtered pyramid telescopes to P(texel) = w / (N * avg).
-    # Packed (D*D, 4) float32 rows [keep_prob, alias_idx, own_pdf, alias_pdf]
-    # so one gather serves the whole sample (pdf = w/avg * 1/4pi, solid-angle
-    # convention of common.glsl:143-145; idx exact in f32 for D<=4096)
+    # Packed (D*D, 12) float32 rows [keep_prob, alias_idx, own_pdf,
+    # alias_pdf, own_rgb(3), alias_rgb(3), pad(2)] so ONE row gather serves
+    # the whole NEE sample including its radiance (pdf = w/avg * 1/4pi,
+    # solid-angle convention of common.glsl:143-145; idx exact in f32 for
+    # D<=4096)
     alias_packed: jnp.ndarray
 
 
@@ -78,6 +88,10 @@ class TFDevice(NamedTuple):
     lut: jnp.ndarray  # (S, 4) float32 (CDF-rewritten if needed)
     window_left: jnp.ndarray  # ()
     window_width: jnp.ndarray  # ()
+    # (S, 2) bf16 round-up pairs [alpha_i, alpha_{i+1}] — one one-hot matmul
+    # serves the lerped alpha lookup on the majorant classification path
+    # (conservative: round-up lerp >= exact lerp for monotone alpha)
+    alpha_oh: jnp.ndarray = None
 
 
 class SceneDevice(NamedTuple):
@@ -114,6 +128,17 @@ class TraceConfig(NamedTuple):
     use_tf: bool = False
     has_emission: bool = False
     max_steps: int = 8192  # safety bound on masked tracking loops
+    # route majorant / TF-alpha lookups through the MXU one-hot gather path
+    # (bf16 round-up tables — conservative, so estimators stay unbiased;
+    # collision events differ from the f32 path, so output matches in
+    # distribution, not bitwise). Default on for TPU backends.
+    use_onehot: bool = False
+    # NEE radiance from the alias row's box-filtered texel value (zero
+    # extra gathers) instead of a 4-row bilinear fetch at the jittered uv.
+    # The sampled texel IS the pdf's resolution, so the estimator stays
+    # unbiased wrt the importance-map distribution; output differs from the
+    # GLSL reference by the in-texel filter only. Default on for TPU.
+    env_nearest_nee: bool = False
 
 
 def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:
@@ -147,12 +172,15 @@ def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:
         mips = build_range_mips(brick_grid.range)
     maj_levels = [brick_grid.range[..., 1]] + [m[..., 1] for m in mips]
     mip_maj = np.concatenate([m.reshape(-1) for m in maj_levels])
+    from .gather import pack_onehot_table
+
     return GridDevice(
         brick_meta=jnp.asarray(meta),
         mip_maj=jnp.asarray(mip_maj.astype(np.float32)),
         atlas=jnp.asarray(atlas),
         transform=jnp.asarray(t.astype(np.float32)),
         inv_transform=jnp.asarray(inv.astype(np.float32)),
+        mip_maj_oh=pack_onehot_table(mip_maj, round_up=True),
     )
 
 
@@ -184,11 +212,43 @@ def upload_environment(env) -> EnvDevice:
     avg = float(env.impmap_mips[-1].reshape(()))
     inv_4pi = 1.0 / (4.0 * np.pi)
     pdf = w / max(avg, 1e-20) * inv_4pi
-    packed = np.stack(
-        [prob, alias.astype(np.float32), pdf, pdf[alias]], axis=-1
+    # rows also carry the own/alias texels' box-filtered radiance (the
+    # importance-map resolution view of the envmap) so the NEE fetch needs
+    # no additional env gathers (TraceConfig.env_nearest_nee)
+    dim = int(np.asarray(env.impmap_mips[0]).shape[0])
+    eh, ew = np.asarray(env.envmap).shape[:2]
+    # average envmap texels under each importance texel (box filter)
+    fy, fx = eh // dim or 1, ew // dim or 1
+    emap = np.asarray(env.envmap, np.float32)
+    ph = dim * fy - eh
+    pw = dim * fx - ew
+    if ph or pw:  # envmap smaller than the importance map: edge-pad
+        emap = np.pad(emap, ((0, max(0, ph)), (0, max(0, pw)), (0, 0)), mode="edge")
+    texel_rgb = (
+        emap[: dim * fy, : dim * fx]
+        .reshape(dim, fy, dim, fx, 3)
+        .mean(axis=(1, 3))
+        .reshape(dim * dim, 3)
+    )
+    packed = np.concatenate(
+        [
+            np.stack([prob, alias.astype(np.float32), pdf, pdf[alias]], axis=-1),
+            texel_rgb,
+            texel_rgb[alias],
+            np.zeros((dim * dim, 2), np.float32),
+        ],
+        axis=-1,
     ).astype(np.float32)
     return EnvDevice(
-        envmap=jnp.asarray(env.envmap),
+        envmap=jnp.asarray(
+            np.concatenate(
+                [
+                    np.asarray(env.envmap, np.float32),
+                    np.zeros((*np.asarray(env.envmap).shape[:2], 1), np.float32),
+                ],
+                axis=-1,
+            )
+        ),
         imp_mips=tuple(jnp.asarray(m) for m in env.impmap_mips),
         transform=jnp.asarray(np.asarray(env.transform, np.float32)),
         inv_transform=jnp.asarray(
@@ -200,8 +260,16 @@ def upload_environment(env) -> EnvDevice:
 
 
 def upload_transferfunc(tf) -> TFDevice:
+    from .gather import bf16_round_up
+
+    lut = np.asarray(tf.device_lut(), np.float32)
+    alpha = bf16_round_up(lut[:, 3])
+    alpha_next = np.concatenate([alpha[1:], alpha[-1:]])
     return TFDevice(
-        lut=jnp.asarray(tf.device_lut()),
+        lut=jnp.asarray(lut),
         window_left=jnp.asarray(np.float32(tf.window_left)),
         window_width=jnp.asarray(np.float32(tf.window_width)),
+        alpha_oh=jnp.asarray(
+            np.stack([alpha, alpha_next], axis=-1), dtype=jnp.bfloat16
+        ),
     )

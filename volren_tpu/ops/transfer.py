@@ -4,6 +4,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from .gather import vgather
 from .scene import TFDevice
 
 
@@ -17,6 +18,27 @@ def tf_lookup(tf: TFDevice, d):
     tc = tf_window(tf, d) * size
     idx = jnp.floor(tc).astype(jnp.int32)
     f = (tc - idx)[..., None]
-    lo = tf.lut.at[idx].get(mode="promise_in_bounds")
-    hi = tf.lut.at[jnp.minimum(idx + 1, size - 1)].get(mode="promise_in_bounds")
+    lo = vgather(tf.lut, idx)
+    hi = vgather(tf.lut, jnp.minimum(idx + 1, size - 1))
+    return lo * (1.0 - f) + hi * f
+
+
+def tf_alpha_majorant(tf: TFDevice, d, onehot=False):
+    """Windowed, lerped LUT ALPHA only — the per-microstep majorant
+    classification fetch (common.glsl:484). With ``onehot`` the pair table
+    (S, 2) bf16 round-up rows [a_i, a_{i+1}] is fetched via one MXU one-hot
+    matmul; the round-up lerp is >= the exact lerp (alpha is monotone after
+    the CDF rewrite), keeping the majorant conservative."""
+    size = tf.lut.shape[0]
+    tc = tf_window(tf, d) * size
+    idx = jnp.floor(tc).astype(jnp.int32)
+    f = tc - idx
+    if onehot:
+        oh = (idx[..., None] == jnp.arange(size, dtype=jnp.int32)).astype(
+            jnp.bfloat16
+        )
+        pair = (oh @ tf.alpha_oh).astype(jnp.float32)  # (..., 2)
+        return pair[..., 0] * (1.0 - f) + pair[..., 1] * f
+    lo = vgather(tf.lut[:, 3], idx)
+    hi = vgather(tf.lut[:, 3], jnp.minimum(idx + 1, size - 1))
     return lo * (1.0 - f) + hi * f

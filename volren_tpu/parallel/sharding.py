@@ -41,12 +41,13 @@ def render_sharded(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh,
     """Render a full frame across ``mesh``; returns the (H, W, 4) sample SUM
     (same contract as ops.megakernel.render_wavefront).
 
-    TPU-native SPMD: the lane state is built EAGERLY (device constants and
-    in-jit iota literals degrade this runtime, see megakernel module doc),
-    replicated ``n_spp`` times (disjoint per-replica sample ranges carried
-    as a per-lane spp_base vector), laid out rep-major so a flat
-    P(("spp", "tiles")) sharding gives device (si, ti) its row band of
-    sample batch si, and merged with an ICI psum over the spp axis."""
+    TPU-native SPMD: the lane state is built EAGERLY, replicated ``n_spp``
+    times (disjoint per-replica sample ranges carried as a per-lane
+    spp_base vector), laid out rep-major so a flat P(("spp", "tiles"))
+    sharding gives device (si, ti) its row band of sample batch si. The
+    wavefront advances via a HOST loop over shard_mapped unrolled megastep
+    programs — device-side loops scalarize gathers on TPU (ops.gather) —
+    and the final accumulators merge with an ICI psum over the spp axis."""
     from ..ops import megakernel as M
 
     n_tiles = mesh.shape["tiles"]
@@ -56,6 +57,7 @@ def render_sharded(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh,
     local_spp = spp // n_spp
     if k_march is None:
         k_march = M._default_k_march()
+    unroll = M._default_unroll()
 
     lane_spec = P(("spp", "tiles"))
     shard1 = NamedSharding(mesh, lane_spec)
@@ -76,25 +78,59 @@ def render_sharded(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh,
     scene = jax.device_put(scene, repl)
     params = jax.device_put(params, repl)
 
-    def shard_fn(state, scene, params, base_vec):
-        s, _it = M._tile_loop(
-            state, scene, params, cfg, width,
-            jnp.int32(local_spp), base_vec, height, k_march,
-        )
-        return lax.psum(s["accum"], "spp")
+    def megastep(state, scene, params, base_vec):
+        for _ in range(unroll):
+            state = M.step_body(
+                state, scene, params, cfg, width,
+                jnp.int32(local_spp), base_vec, height, k_march,
+            )
+        return state
 
-    fn = jax.jit(
+    step_fn = jax.jit(
         jax.shard_map(
-            shard_fn,
+            megastep,
             mesh=mesh,
             in_specs=(lane_spec, P(), P(), lane_spec),
             out_specs=lane_spec,
             check_vma=False,
         )
     )
-    acc = fn(state, scene, params, base_vec)
+
+    def any_active(state):
+        return lax.psum(
+            (state["mode"] != M.MODE_INACTIVE).sum(), ("spp", "tiles")
+        ) > 0
+
+    active_fn = jax.jit(
+        jax.shard_map(
+            any_active, mesh=mesh, in_specs=(lane_spec,), out_specs=P(),
+            check_vma=False,
+        )
+    )
+
+    def merge(state):
+        return lax.psum(state["accum"], "spp")
+
+    merge_fn = jax.jit(
+        jax.shard_map(
+            merge, mesh=mesh, in_specs=(lane_spec,), out_specs=lane_spec,
+            check_vma=False,
+        )
+    )
+
+    max_steps = 4096 + 512 * int(local_spp)
+    steps = 0
+    while True:
+        for _ in range(2):
+            state = step_fn(state, scene, params, base_vec)
+        steps += 2 * unroll
+        if not bool(active_fn(state)):
+            break
+        if steps > max_steps:
+            raise RuntimeError(f"sharded render did not converge after {steps} steps")
+    acc = merge_fn(state)
     # after the psum every spp replica holds the merged sum; take replica 0
-    return acc[:n_pix].reshape(height, width, 4)
+    return np.asarray(acc)[:n_pix].reshape(height, width, 4)
 
 
 def render_sharded_host(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh, **kw):

@@ -68,10 +68,17 @@ class Renderer:
         # (the TPU performance path); "oracle": literal port of the GLSL
         # nested-loop structure (slow, used for cross-validation)
         self.engine = "wavefront"
-        # "device": the whole wavefront loop runs in ONE jitted program
-        # (fast path — no per-step dispatch overhead); "host": phase
-        # programs dispatched from a host loop (interruptible)
-        self.step_engine = os.environ.get("VOLREN_STEP_ENGINE", "device")
+        # "chunked": host loop over unrolled straight-line megastep programs
+        # (the TPU fast path — gathers vectorize only OUTSIDE device loops,
+        # see ops.gather); "device": whole loop in one jitted while_loop
+        # (good on CPU, scalarizes gathers on TPU); "host": per-phase
+        # dispatch (interruptible, most overhead)
+        self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
+            "chunked" if jax.default_backend() == "tpu" else "device"
+        )
+        # None = auto (MXU one-hot majorant gathers on TPU, exact f32
+        # scalar gathers elsewhere); True/False forces the path
+        self.use_onehot = None
         # optional jax.sharding.Mesh: shards the wavefront state row-wise
         # across devices (set via distribute())
         self.mesh = None
@@ -172,10 +179,15 @@ class Renderer:
     def _config(self) -> TraceConfig:
         frame = self.volume.grid_frame_counter
         has_emission = frame < len(self._emission_grids)
+        use_onehot = self.use_onehot
+        if use_onehot is None:
+            use_onehot = jax.default_backend() == "tpu"
         return TraceConfig(
             use_dda=self._use_dda,
             use_tf=self._tf_device is not None,
             has_emission=has_emission,
+            use_onehot=bool(use_onehot),
+            env_nearest_nee=bool(use_onehot),
         )
 
     # ---- rendering ----
@@ -216,10 +228,22 @@ class Renderer:
                     int(spp),
                     self.sample,
                 )
-            else:
+            elif self.step_engine == "device":
                 from .ops.megakernel import render_wavefront
 
                 accum = render_wavefront(
+                    self._scene_device(),
+                    self._trace_params(),
+                    self._config(),
+                    self._width,
+                    self._height,
+                    int(spp),
+                    self.sample,
+                )
+            else:
+                from .ops.megakernel import render_wavefront_chunked
+
+                accum = render_wavefront_chunked(
                     self._scene_device(),
                     self._trace_params(),
                     self._config(),
