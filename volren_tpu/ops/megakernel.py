@@ -206,21 +206,26 @@ def phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height):
     )
 
 
-def phase_march_body(s, scene, params, cfg, k_march):
+def phase_march_body(s, scene, params, cfg, k_march, test_every=None):
     """K DDA micro-steps (sample_volumeDDA / transmittanceDDA march,
-    common.glsl:469-480) followed by ONE batched density-test resolve.
+    common.glsl:469-480) with batched density-test resolves every
+    ``test_every`` micro-steps.
 
     Each micro-step is majorant fetch + boundary step only (MXU one-hot
     majorants when cfg.use_onehot); a tau crossing parks the lane with
-    EV_TEST and its stepped-back t. The test resolve then runs the
-    expensive fetches (stochastic-filter atlas decode, emission) once per
-    K micro-steps instead of once per micro-step. Per-lane draw order is
-    unchanged (parked lanes draw nothing while waiting), so the f32 path
-    is bit-identical to the inline-test formulation."""
+    EV_TEST and its stepped-back t. A test resolve runs the expensive
+    fetches (stochastic-filter atlas decode, emission) for all parked
+    lanes at once; null collisions resume marching at the next micro-step.
+    ``test_every`` trades resolve frequency against lane idling (a parked
+    lane waits <= test_every-1 micro-steps) — per-lane draw order is
+    IDENTICAL for every setting, so all configurations produce the same
+    image bit-for-bit on the f32 path."""
     f32, i32 = jnp.float32, jnp.int32
     grid = scene.density
+    if test_every is None:
+        test_every = k_march
     s = dict(s)
-    for _ in range(k_march):
+    for j in range(k_march):
         mode, event = s["mode"], s["event"]
         t, far, tau, mip = s["t"], s["far"], s["tau"], s["mip"]
         ipos0, idir, ri = s["ipos0"], s["idir"], s["ri"]
@@ -268,7 +273,14 @@ def phase_march_body(s, scene, params, cfg, k_march):
         )
         s.update(event=event, t=t, tau=tau, mip=mip)
 
-    # ---- batched density-test resolve (once per K micro-steps) ----
+        if (j + 1) % test_every == 0 or j == k_march - 1:
+            s = _resolve_tests(s, scene, params, cfg)
+    return s
+
+
+def _resolve_tests(s, scene, params, cfg):
+    """Batched density-test resolve for all EV_TEST lanes (the expensive
+    fetches: stochastic-filter atlas decode + emission)."""
     mode, event, seed = s["mode"], s["event"], s["seed"]
     t, tau, mip = s["t"], s["tau"], s["mip"]
     is_extend = mode == MODE_EXTEND
@@ -300,6 +312,7 @@ def phase_march_body(s, scene, params, cfg, k_march):
         EV_EXT_HIT,
         jnp.where(real & ~is_extend, EV_SH_HIT, jnp.where(redraw, EV_NONE, event)),
     )
+    s = dict(s)
     s.update(event=event, seed=seed, tau=tau, mip=mip, L=le)
     return s
 
@@ -438,12 +451,13 @@ def phase_finish_body(s, scene, params, cfg, do_escape=True):
 
 
 def step_body(s, scene, params, cfg, width, spp, spp_base, full_height, k_march,
-              do_escape=True):
+              do_escape=True, test_every=None):
     """One full wavefront step = regen -> K march -> nee -> finish. Shared
     by the host-phase driver and the single-jit tile variant so both
-    produce bit-identical samples. See phase_finish_body for do_escape."""
+    produce bit-identical samples. See phase_finish_body for do_escape and
+    phase_march_body for test_every."""
     s = phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height)
-    s = phase_march_body(s, scene, params, cfg, k_march)
+    s = phase_march_body(s, scene, params, cfg, k_march, test_every=test_every)
     s = phase_nee_body(s, scene, params, cfg)
     s = phase_finish_body(s, scene, params, cfg, do_escape=do_escape)
     return s
@@ -661,15 +675,20 @@ def render_wavefront_tile(
 # ----------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "full_height", "k_march", "unroll"))
-def _megastep_jit(state, scene, params, cfg, width, spp, spp_base, full_height, k_march, unroll):
+DEFAULT_TEST_EVERY = 2
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "full_height", "k_march", "unroll", "test_every"))
+def _megastep_jit(state, scene, params, cfg, width, spp, spp_base, full_height,
+                  k_march, unroll, test_every=DEFAULT_TEST_EVERY):
     for i in range(unroll):
         # escape resolution (the 4-row bilinear env fetch) on alternating
         # steps only — odd phase so the megastep's LAST step always drains
         # parked escape lanes
         do_escape = (i % 2 == 1) or unroll == 1
         state = step_body(state, scene, params, cfg, width, spp, spp_base,
-                          full_height, k_march, do_escape=do_escape)
+                          full_height, k_march, do_escape=do_escape,
+                          test_every=test_every)
     # activity as a widened VECTOR output of the same program: a separate
     # scalar-reduction program (the old _any_active) executes ~30x slower
     # through this runtime, and scalar program outputs hit the same slow
@@ -700,6 +719,7 @@ def render_wavefront_chunked(
     unroll=None,
     check_every=2,
     state=None,
+    test_every=DEFAULT_TEST_EVERY,
 ):
     """Host loop over unrolled megastep programs (see block comment above).
     Sample streams are identical to the other engines (per-lane logic does
@@ -722,7 +742,7 @@ def render_wavefront_chunked(
         for _ in range(check_every):
             state, n_active = _megastep_jit(
                 state, scene, params, cfg, width, spp, spp_base,
-                full_height, k_march, unroll,
+                full_height, k_march, unroll, test_every,
             )
         steps += check_every * unroll
         stuck = int(_np.asarray(n_active)[0])  # forces sync once per group
