@@ -50,3 +50,44 @@ def test_styletransfer_smoke(tmp_path):
     img = np.asarray(Image.open(out), dtype=np.float32)
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all() and img.mean() > 0
+
+
+def test_colmap_model_binary_roundtrip(tmp_path):
+    """Binary COLMAP model IO (reference scripts/read_write_model.py handles
+    text AND binary; the text writer is covered via datagen_colmap). A model
+    written as .bin must read back identically, and autodetection must pick
+    the binary files over absent text ones."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import colmap_model as cm
+
+    cameras = {1: cm.Camera(id=1, model="SIMPLE_PINHOLE", width=640, height=480,
+                            params=[500.0, 320.0, 240.0])}
+    images = {
+        7: cm.Image(id=7, qvec=[0.5, 0.5, -0.5, 0.5], tvec=[0.1, -0.2, 3.0],
+                    camera_id=1, name="view_000007.png",
+                    xys=[(1.5, 2.5), (3.0, 4.0)], point3D_ids=[11, -1]),
+        8: cm.Image(id=8, qvec=[1.0, 0.0, 0.0, 0.0], tvec=[0.0, 0.0, 0.0],
+                    camera_id=1, name="view_000008.png"),
+    }
+    points = {11: cm.Point3D(id=11, xyz=[0.25, -0.75, 1.25], rgb=[10, 200, 255],
+                             error=0.5, image_ids=[7], point2D_idxs=[0])}
+
+    cm.write_model(cameras, images, points, str(tmp_path), ext=".bin")
+    rc, ri, rp = cm.read_model(str(tmp_path))  # autodetect .bin
+
+    cam = rc[1]
+    assert (cam.model, cam.width, cam.height) == ("SIMPLE_PINHOLE", 640, 480)
+    assert cam.params == [500.0, 320.0, 240.0]
+    im = ri[7]
+    assert im.qvec == [0.5, 0.5, -0.5, 0.5] and im.tvec == [0.1, -0.2, 3.0]
+    assert im.name == "view_000007.png"
+    assert im.xys == [(1.5, 2.5), (3.0, 4.0)] and im.point3D_ids == [11, -1]
+    assert ri[8].xys == []
+    pt = rp[11]
+    assert pt.xyz == [0.25, -0.75, 1.25] and pt.rgb == [10, 200, 255]
+    assert pt.error == 0.5 and pt.image_ids == [7] and pt.point2D_idxs == [0]
+
+    # text round-trip through the same entry points still works
+    cm.write_model(cameras, images, points, str(tmp_path / "txt"), ext=".txt")
+    tc, ti, tp = cm.read_model(str(tmp_path / "txt"))
+    assert ti[7].point3D_ids == [11, -1] and tc[1].params == cam.params
