@@ -79,3 +79,37 @@ def test_volpy_shim_flow(tmp_path):
     assert abs(q.w**2 + q.x**2 + q.y**2 + q.z**2 - 1) < 1e-5
     res = volpy.Renderer.resolution()
     assert (res.x, res.y) == (12, 12)
+
+
+def test_volpy_glm_types():
+    """glm shim parity (reference bindings.cpp:220-417): int-backed
+    i/uvec types, quat with Hamilton product and rotation semantics."""
+    import sys
+    sys.path.insert(0, REPO)
+    from volren_tpu import volpy
+
+    iv = volpy.ivec3(1, 2, 3)
+    assert iv.dtype == np.int32 and (iv.x, iv.y, iv.z) == (1, 2, 3)
+    assert isinstance(iv.x, int)
+    uv = volpy.uvec2(5)
+    assert uv.dtype == np.uint32 and (uv.x, uv.y) == (5, 5)
+    v = volpy.vec3(1.5, 0.0, 0.0)
+    assert isinstance(v.x, float) and v.normalize().x == 1.0
+
+    # identity and 90-degree z-rotation
+    q = volpy.quat()
+    assert (q.w, q.x, q.y, q.z) == (1.0, 0.0, 0.0, 0.0)
+    s = np.sin(np.pi / 4)
+    qz = volpy.quat(np.cos(np.pi / 4), 0.0, 0.0, s)
+    r = qz * volpy.vec3(1, 0, 0)
+    assert np.allclose(r, [0, 1, 0], atol=1e-6)
+    # Hamilton product: two 90-degree rotations = one 180-degree rotation
+    r2 = (qz * qz) * volpy.vec3(1, 0, 0)
+    assert np.allclose(r2, [-1, 0, 0], atol=1e-6)
+    # conjugate undoes the rotation; normalize is idempotent on unit quats
+    back = qz.conjugate() * r
+    assert np.allclose(back, [1, 0, 0], atol=1e-6)
+    n = (qz * qz).normalize()
+    assert abs(n.w**2 + n.x**2 + n.y**2 + n.z**2 - 1) < 1e-6
+    # buffer/array interop (reference quats expose the buffer protocol)
+    assert np.asarray(qz).shape == (4,)

@@ -305,7 +305,9 @@ def main(argv: list[str] | None = None) -> int:
             renderer.trace(spp=step)
             print(f"{renderer.sample} / {renderer.sppx}", end="\r", flush=True)
         dt = time.time() - t0
-        print(f"{renderer.sppx} samples in {dt:.1f}s ({renderer.sppx / dt:.2f} spp/s)")
+        # newline first: the \r progress line above leaves the cursor mid-line
+        # (and concatenates with this summary when stdout is not a tty)
+        print(f"\n{renderer.sppx} samples in {dt:.1f}s ({renderer.sppx / dt:.2f} spp/s)")
         stem = os.path.splitext(out_filename)[0]
         if renderer.volume.n_grid_frames() > 1 or not interactive:
             out_fn = f"{stem}_{frame:06d}.png"

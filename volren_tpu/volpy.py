@@ -28,22 +28,24 @@ from .voldata import Volume as _Volume
 
 class _Vec(np.ndarray):
     _fields = "xyzw"
+    _dtype = np.float32
 
     def __new__(cls, *args):
         n = cls._n
         if len(args) == 0:
-            data = np.zeros(n, np.float32)
+            data = np.zeros(n, cls._dtype)
         elif len(args) == 1 and np.isscalar(args[0]):
-            data = np.full(n, args[0], np.float32)
+            data = np.full(n, args[0], cls._dtype)
         elif len(args) == 1:
-            data = np.asarray(args[0], np.float32).reshape(n)
+            data = np.asarray(args[0], cls._dtype).reshape(n)
         else:
-            data = np.asarray(args, np.float32).reshape(n)
+            data = np.asarray(args, cls._dtype).reshape(n)
         return data.view(cls)
 
     def __getattr__(self, name):
         if len(name) == 1 and name in self._fields[: self._n]:
-            return float(self[self._fields.index(name)])
+            v = self[self._fields.index(name)]
+            return float(v) if self._dtype == np.float32 else int(v)
         raise AttributeError(name)
 
     def __setattr__(self, name, value):
@@ -71,8 +73,99 @@ class vec4(_Vec):
     _n = 4
 
 
-ivec2, ivec3, ivec4 = vec2, vec3, vec4  # float-backed shims are sufficient
-uvec2, uvec3, uvec4 = vec2, vec3, vec4
+# integer vectors are genuinely int-backed (bindings.cpp registers glm
+# i/uvec types with the same field access and operators)
+class ivec2(_Vec):
+    _n, _dtype = 2, np.int32
+
+
+class ivec3(_Vec):
+    _n, _dtype = 3, np.int32
+
+
+class ivec4(_Vec):
+    _n, _dtype = 4, np.int32
+
+
+class uvec2(_Vec):
+    _n, _dtype = 2, np.uint32
+
+
+class uvec3(_Vec):
+    _n, _dtype = 3, np.uint32
+
+
+class uvec4(_Vec):
+    _n, _dtype = 4, np.uint32
+
+
+class quat:
+    """glm-style quaternion, (w, x, y, z) constructor order as in glm and
+    the reference bindings (bindings.cpp quat registration). Supports the
+    operations the reference scripts rely on: field access, Hamilton
+    product, vec3 rotation, normalize, conjugate, mat3 conversion."""
+
+    __slots__ = ("_q",)
+
+    def __init__(self, *args):
+        if len(args) == 0:
+            self._q = np.array([1.0, 0.0, 0.0, 0.0], np.float32)
+        elif len(args) == 1:
+            a = args[0]
+            if isinstance(a, quat):
+                self._q = a._q.copy()
+            else:
+                self._q = np.asarray(a, np.float32).reshape(4)
+        elif len(args) == 4:
+            self._q = np.asarray(args, np.float32)
+        else:
+            raise TypeError("quat(), quat(q), or quat(w, x, y, z)")
+
+    w = property(lambda self: float(self._q[0]))
+    x = property(lambda self: float(self._q[1]))
+    y = property(lambda self: float(self._q[2]))
+    z = property(lambda self: float(self._q[3]))
+
+    def __array__(self, dtype=None, copy=None):
+        return np.array(self._q, dtype=dtype or np.float32)
+
+    def __iter__(self):
+        return iter(float(v) for v in self._q)
+
+    def __repr__(self):
+        w, x, y, z = self._q
+        return f"quat({w:g}, {x:g}, {y:g}, {z:g})"
+
+    def normalize(self):
+        return quat(self._q / np.linalg.norm(self._q))
+
+    def conjugate(self):
+        w, x, y, z = self._q
+        return quat(w, -x, -y, -z)
+
+    def to_mat3(self):
+        w, x, y, z = self.normalize()._q
+        return np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ],
+            np.float32,
+        )
+
+    def __mul__(self, other):
+        if isinstance(other, quat):
+            w1, x1, y1, z1 = self._q
+            w2, x2, y2, z2 = other._q
+            return quat(
+                w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+                w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+                w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+                w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+            )
+        v = np.asarray(other, np.float32).reshape(3)
+        return vec3(self.to_mat3() @ v)
 
 
 def mat3(*args):
@@ -164,12 +257,7 @@ class Renderer:
 
     @staticmethod
     def colmap_view_rot():
-        q = _bound["renderer"].cam.colmap_view_rot()
-
-        class _Q:
-            w, x, y, z = (float(q[0]), float(q[1]), float(q[2]), float(q[3]))
-
-        return _Q()
+        return quat(_bound["renderer"].cam.colmap_view_rot())
 
     @staticmethod
     def colmap_focal_length():
