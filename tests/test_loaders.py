@@ -79,3 +79,85 @@ def test_dicom_series(tmp_path):
     # spacing: dx=dy=0.7, dz=|2.5-0|=2.5
     assert abs(g.transform[0, 0] - 0.7) < 1e-6
     assert abs(g.transform[2, 2] - 2.5) < 1e-6
+
+
+def _build_min_nvdb(path, codec=0):
+    """Hand-assemble a minimal spec-conformant NanoVDB file (VERDICT #7):
+    file header + FileMetaData + one float grid whose payload is
+    GridData(672 B) + TreeData + a single 8^3 leaf at index origin (8,16,24).
+    Layout per the public NanoVDB v32 ABI (nanovdb/NanoVDB.h, util/IO.h)."""
+    import zlib
+
+    leaf_vals = np.arange(512, dtype=np.float32) / 512.0
+    mask = np.zeros(512, dtype=bool)
+    mask[::3] = True  # sparse activity pattern
+
+    # ---- leaf: CoordBBox min (3i) + bbox_dif (3B) + flags (B) + pad to 16
+    leaf = struct.pack("<3i", 8, 16, 24) + bytes([7, 7, 7, 0])
+    leaf += np.packbits(mask, bitorder="little").tobytes()  # 64 B value mask
+    leaf += struct.pack("<4f", leaf_vals.min(), leaf_vals.max(), 0.0, 0.0)
+    leaf += leaf_vals.tobytes()  # 512 floats, x fastest? (x,y,z) reader order
+    assert len(leaf) == 12 + 3 + 1 + 64 + 16 + 2048
+
+    # ---- GridData: 672 bytes; only the fields the reader consumes are set
+    grid_data = bytearray(672)
+    struct.pack_into("<Q", grid_data, 16, 672 + 48 + len(leaf))  # mGridSize
+    # Map at 264: floats mMatF[9]+mInvMatF[9]+mVecF[3]+mTaperF (88 B), then
+    # doubles mMatD[9]+mInvMatD[9]+mVecD[3]+mTaperD
+    vox = 0.5  # voxel size -> scale map
+    matd = [vox, 0, 0, 0, vox, 0, 0, 0, vox]
+    struct.pack_into("<9d", grid_data, 264 + 88, *matd)
+    struct.pack_into("<3d", grid_data, 264 + 88 + 144, 1.0, 2.0, 3.0)  # mVecD
+
+    # ---- TreeData: mNodeOffset[4] (rel. to tree), mNodeCount[3], ...
+    tree = bytearray(48)
+    struct.pack_into("<Q", tree, 0, 48)  # leaves directly after TreeData
+    struct.pack_into("<I", tree, 32, 1)  # one leaf
+
+    payload = bytes(grid_data) + bytes(tree) + leaf
+    if codec == 1:
+        z = zlib.compress(payload)
+        payload = struct.pack("<Q", len(z)) + z
+
+    name = b"density\x00"
+    meta = bytearray(180)
+    struct.pack_into("<QQQQII", meta, 0,
+                     672 + 48 + len(leaf), len(payload), 0,
+                     int(mask.sum()), 1, 1)  # grid_type=float, class=fog
+    struct.pack_into("<6d", meta, 40, 4.0, 8.0, 12.0, 8.0, 12.0, 16.0)
+    struct.pack_into("<6i", meta, 88, 8, 16, 24, 15, 23, 31)  # index bbox
+    struct.pack_into("<3d", meta, 112, vox, vox, vox)
+    struct.pack_into("<I", meta, 136, len(name))
+    struct.pack_into("<4I", meta, 140, 1, 0, 0, 0)  # node counts
+    struct.pack_into("<HHI", meta, 172, codec, 0, 32 << 21)  # codec, pad, version
+
+    header = struct.pack("<QIHH", 0x324244566F6E614E, 32, 1, codec)
+    with open(path, "wb") as f:
+        f.write(header + bytes(meta) + name + payload)
+    return leaf_vals, mask
+
+
+@pytest.mark.parametrize("codec", [0, 1], ids=["raw", "zip"])
+def test_nanovdb_minimal_file(tmp_path, codec):
+    from volren_tpu.voldata.nanovdb import read_nanovdb
+
+    p = str(tmp_path / "min.nvdb")
+    vals, mask = _build_min_nvdb(p, codec=codec)
+    g = read_nanovdb(p)
+    assert g.data.shape == (8, 8, 8)  # (z, y, x) of the 8^3 index bbox
+    expect = np.where(mask, vals, 0.0).reshape(8, 8, 8).transpose(2, 1, 0)
+    np.testing.assert_allclose(g.data, expect)
+    # transform: scale 0.5 map, origin mVecD + M @ bbox_min
+    t = g.transform
+    np.testing.assert_allclose(np.diag(t)[:3], [0.5, 0.5, 0.5])
+    np.testing.assert_allclose(t[:3, 3], [1.0 + 4.0, 2.0 + 8.0, 3.0 + 12.0])
+
+
+def test_nanovdb_rejects_garbage(tmp_path):
+    from volren_tpu.voldata.nanovdb import read_nanovdb
+
+    p = str(tmp_path / "bad.nvdb")
+    with open(p, "wb") as f:
+        f.write(b"not a nanovdb file at all........")
+    with pytest.raises(ValueError):
+        read_nanovdb(p)

@@ -58,8 +58,9 @@ def read_nanovdb(path: str, name: str = "density") -> DenseGrid:
         (name_size,) = struct.unpack_from("<I", raw, off + 136)
         n_nodes = struct.unpack_from("<4I", raw, off + 140)
         n_tiles = struct.unpack_from("<4I", raw, off + 156)
+        # codec u16 @172, padding u16 @174, version u32 @176 -> 180 B total
         meta_codec, padding, meta_version = struct.unpack_from("<HHI", raw, off + 172)
-        off += 176
+        off += 180
         gname = raw[off : off + name_size].split(b"\x00")[0].decode("utf-8", "replace")
         off += name_size
 
