@@ -88,6 +88,7 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps):
     preview = os.path.splitext(out_filename)[0] + "_preview.png"
     reload_timer = time.time()
     animation_timer = time.time()
+    preview_timer = 0.0
     print(f"interactive (headless): preview -> {preview}, Ctrl-C to stop")
     try:
         while True:
@@ -113,7 +114,12 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps):
                     end="\r",
                     flush=True,
                 )
-                save_ldr(preview, renderer.draw(), flip=True, alpha=False)
+                # throttle preview writes to ~1 Hz: the reference only pays a
+                # tonemap draw per frame, while a full PNG encode at 1024^2 is
+                # a meaningful slice of chunk time (round-1 review finding)
+                if time.time() - preview_timer >= 1.0 or renderer.sample >= renderer.sppx:
+                    save_ldr(preview, renderer.draw(), flip=True, alpha=False)
+                    preview_timer = time.time()
                 if renderer.sample >= renderer.sppx:
                     # reference auto-saves the raw (untonemapped) framebuffer
                     save_ldr(out_filename, np.asarray(renderer.framebuffer()), flip=True, alpha=True)
