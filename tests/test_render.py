@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -6,6 +7,8 @@ import pytest
 from volren_tpu.renderer import Renderer
 from volren_tpu.scene.environment import Environment
 from volren_tpu.voldata import DenseGrid, Volume
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.fixture(scope="module")
@@ -179,3 +182,41 @@ def test_draw_tonemap_toggle(tiny_renderer):
     assert tm.shape == raw.shape == (24, 24, 4)
     assert not np.allclose(tm[..., :3], raw[..., :3])
     np.testing.assert_array_equal(tm[..., 3], raw[..., 3])  # alpha untouched
+
+
+def test_vdb_animation_folder_cli(tmp_path):
+    """BASELINE config 4 (VDB animation): a folder of .vdb frames renders
+    through the full CLI offline loop to numbered PNGs, one per frame,
+    with per-frame grid reload (main.cpp:524-558, README.md:80-82)."""
+    import subprocess
+    import sys as _sys
+    from volren_tpu.voldata.vdb_reader import write_vdb
+
+    rng = np.random.default_rng(11)
+    vols = str(tmp_path / "anim")
+    os.makedirs(vols)
+    for i in range(3):
+        dense = (rng.random((16, 16, 16)) * (i + 1) / 3).astype(np.float32)
+        write_vdb(os.path.join(vols, f"frame_{i:03d}.vdb"), dense)
+
+    out = str(tmp_path / "anim_out.png")
+    proc = subprocess.run(
+        [_sys.executable, "-m", "volren_tpu.cli", vols,
+         "--render", "-w", "16", "-h", "16", "--spp", "2", "--bounces", "3",
+         "--density", "4", "--output", out],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "VOLREN_PLATFORM": "cpu", "PYTHONPATH": REPO},
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    stem = os.path.splitext(out)[0]
+    imgs = []
+    for i in range(3):
+        fn = f"{stem}_{i:06d}.png"
+        assert os.path.exists(fn), (fn, proc.stderr[-500:])
+        from PIL import Image
+
+        imgs.append(np.asarray(Image.open(fn), np.float32))
+    assert all(np.isfinite(im).all() for im in imgs)
+    # frames have different densities -> different renders
+    assert not np.array_equal(imgs[0], imgs[2])
