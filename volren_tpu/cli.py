@@ -309,6 +309,11 @@ def main(argv: list[str] | None = None) -> int:
             # path lengths within a chunk
             step = min(renderer.sppx - renderer.sample, 64)
             renderer.trace(spp=step)
+            # sync per chunk: dispatch is async, so without this the
+            # progress line and the spp/s summary time only enqueueing
+            import jax
+
+            jax.block_until_ready(renderer.framebuffer())
             print(f"{renderer.sample} / {renderer.sppx}", end="\r", flush=True)
         dt = time.time() - t0
         # newline first: the \r progress line above leaves the cursor mid-line
