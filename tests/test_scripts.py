@@ -91,3 +91,68 @@ def test_colmap_model_binary_roundtrip(tmp_path):
     cm.write_model(cameras, images, points, str(tmp_path / "txt"), ext=".txt")
     tc, ti, tp = cm.read_model(str(tmp_path / "txt"))
     assert ti[7].point3D_ids == [11, -1] and tc[1].params == cam.params
+
+
+@pytest.mark.slow
+def test_datagen_denoise_reduced(tmp_path):
+    """BASELINE config 5 at reduced N: the denoise datagen must produce the
+    reference's HDF5 contract — two files, dataset 'color', fp16 (N,3,H,W)
+    (reference scripts/datagen_denoise.py:49-52,113-121)."""
+    import h5py
+
+    env = {
+        **os.environ,
+        "VOLREN_PLATFORM": "cpu",
+        "PYTHONPATH": REPO,
+        "DATAGEN_N_IMAGES": "2",
+        "DATAGEN_SPP_TARGET": "4",
+        "DATAGEN_RES": "16",
+        "DATAGEN_H5_NAME": str(tmp_path / "ds"),
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "datagen_denoise.py")],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for suffix in ("_input.h5", "_target.h5"):
+        with h5py.File(str(tmp_path / "ds") + suffix) as f:
+            d = f["color"]
+            assert d.shape == (2, 3, 16, 16)
+            assert d.dtype == np.float16
+            data = np.asarray(d, np.float32)
+            assert np.isfinite(data).all() and data.max() > 0
+
+
+@pytest.mark.slow
+def test_datagen_colmap_reduced(tmp_path):
+    """BASELINE config 5 at reduced N: COLMAP datagen writes alpha view
+    PNGs and a text model with the AABB-as-Point3D convention
+    (reference scripts/datagen_colmap.py:69-88)."""
+    env = {
+        **os.environ,
+        "VOLREN_PLATFORM": "cpu",
+        "PYTHONPATH": REPO,
+        "DATAGEN_N_VIEWS": "2",
+        "DATAGEN_SPP": "2",
+        "DATAGEN_RES": "16",
+        "DATAGEN_OUT": str(tmp_path / "colmap"),
+    }
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "datagen_colmap.py")],
+        capture_output=True, text=True, timeout=1200, env=env, cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = tmp_path / "colmap"
+    pngs = sorted(p.name for p in out.glob("**/*.png"))
+    assert len(pngs) == 2, (pngs, proc.stdout[-500:])
+    img = np.asarray(Image.open(sorted(out.glob("**/*.png"))[0]))
+    assert img.shape[-1] == 4  # alpha kept (save_with_alpha)
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    import colmap_model as cm
+
+    model_dirs = [d for d in out.glob("**/cameras.txt")]
+    assert model_dirs, list(out.glob("**/*"))
+    cams, images, points = cm.read_model(str(model_dirs[0].parent))
+    assert len(images) == 2 and len(cams) >= 1
+    assert cams[0].model == "SIMPLE_PINHOLE"
+    assert len(points) >= 1  # the smuggled AABB point
