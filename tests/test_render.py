@@ -220,3 +220,51 @@ def test_vdb_animation_folder_cli(tmp_path):
     assert all(np.isfinite(im).all() for im in imgs)
     # frames have different densities -> different renders
     assert not np.array_equal(imgs[0], imgs[2])
+
+
+def test_http_viewer(random_grid16_module):
+    """The localhost viewer (GL-window/ImGui analogue): serves the live
+    frame, the parameter panel state, and applies edits with a reset —
+    mirroring main.cpp:164-305 where every ImGui change resets
+    accumulation."""
+    import json
+    import urllib.request
+
+    from volren_tpu.viewer import ViewerServer
+
+    r = Renderer()
+    r.volume = Volume(DenseGrid(16, 16, 16, random_grid16_module))
+    r.scale_and_move_to_unit_cube()
+    r.set_environment(Environment.white(0.5))
+    r.bounces = 4
+    r.init(16, 16)
+    r.commit()
+    r.render(2)
+
+    v = ViewerServer(r, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{v.port}"
+        html = urllib.request.urlopen(base + "/", timeout=10).read()
+        assert b"volren_tpu" in html
+        png = urllib.request.urlopen(base + "/frame.png", timeout=30).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        state = json.loads(
+            urllib.request.urlopen(base + "/state.json", timeout=30).read()
+        )
+        assert state["sample"] == 2 and state["bounces"] == 4
+        # a parameter edit applies and resets accumulation
+        applied = json.loads(
+            urllib.request.urlopen(
+                base + "/set?bounces=7&albedo=0.5,0.6,0.7", timeout=30
+            ).read()
+        )
+        assert applied == {"bounces": "7", "albedo": "0.5,0.6,0.7"}
+        assert r.bounces == 7 and r.sample == 0
+        np.testing.assert_allclose(r.albedo, [0.5, 0.6, 0.7])
+        # unknown params are ignored, not applied
+        ignored = json.loads(
+            urllib.request.urlopen(base + "/set?nope=1", timeout=30).read()
+        )
+        assert ignored == {}
+    finally:
+        v.stop()

@@ -73,12 +73,16 @@ def run_script(renderer: Renderer, path: str) -> None:
     exec(compile(code, path, "exec"), glb)
 
 
-def _interactive_loop(renderer, out_filename, animate, animation_fps):
+def _interactive_loop(renderer, out_filename, animate, animation_fps, serve_port=None):
     """Headless analogue of the reference's interactive loop
     (main.cpp:477-523): progressive accumulation with a live preview file,
     1 Hz kernel hot-reload polling (resets accumulation on change, like
     shader reload), volume animation advance at animation_fps, auto-save of
-    the raw framebuffer at convergence (main.cpp:512-513). Ctrl-C exits."""
+    the raw framebuffer at convergence (main.cpp:512-513). Ctrl-C exits.
+
+    With serve_port set, a localhost HTTP viewer (live frame + editable
+    parameter panel — the GL-window/ImGui analogue) runs alongside."""
+    import contextlib
     import time
 
     from .utils.hotreload import KernelWatcher
@@ -89,6 +93,14 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps):
     reload_timer = time.time()
     animation_timer = time.time()
     preview_timer = 0.0
+    viewer = None
+    lock = contextlib.nullcontext()
+    if serve_port is not None:
+        from .viewer import ViewerServer
+
+        viewer = ViewerServer(renderer, port=serve_port).start()
+        lock = viewer.lock
+        print(f"viewer: http://127.0.0.1:{viewer.port}/")
     print(f"interactive (headless): preview -> {preview}, Ctrl-C to stop")
     try:
         while True:
@@ -104,8 +116,9 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps):
                 animation_timer = time.time()
             if renderer.sample < renderer.sppx:
                 t0 = time.time()
-                step = min(renderer.sppx - renderer.sample, 4)
-                renderer.trace(spp=step)
+                with lock:
+                    step = min(renderer.sppx - renderer.sample, 4)
+                    renderer.trace(spp=step)
                 dt = time.time() - t0
                 eta = dt / step * (renderer.sppx - renderer.sample)
                 print(
@@ -128,6 +141,9 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps):
                 time.sleep(0.1)  # 10 fps idle (main.cpp:515)
     except KeyboardInterrupt:
         print("\nexiting.")
+    finally:
+        if viewer is not None:
+            viewer.stop()
     return 0
 
 
@@ -140,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     width, height = 1024, 1024
     animate = False
     animation_fps = 30.0
+    serve_port = None
     paths: list[str] = []
     pending: list[tuple] = []  # deferred flag applications, in order
 
@@ -240,6 +257,10 @@ def main(argv: list[str] | None = None) -> int:
             animation_fps = float(take())
         elif arg == "--distribute":
             pending.append(("distribute",))
+        elif arg == "--serve":
+            # localhost HTTP viewer (GL-window/ImGui analogue); optional port
+            has_port = i + 1 < len(argv) and argv[i + 1].isdigit()
+            serve_port = int(take()) if has_port else 8710
         elif os.path.exists(arg):
             paths.append(arg)
         else:
@@ -295,7 +316,9 @@ def main(argv: list[str] | None = None) -> int:
     renderer.reset()
 
     if interactive:
-        return _interactive_loop(renderer, out_filename, animate, animation_fps)
+        return _interactive_loop(
+            renderer, out_filename, animate, animation_fps, serve_port=serve_port
+        )
     # offline render loop (main.cpp:524-558)
     print("rendering...")
     for frame in range(renderer.volume.n_grid_frames()):
