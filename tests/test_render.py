@@ -222,6 +222,7 @@ def test_vdb_animation_folder_cli(tmp_path):
     assert not np.array_equal(imgs[0], imgs[2])
 
 
+@pytest.mark.slow
 def test_http_viewer(random_grid16_module):
     """The localhost viewer (GL-window/ImGui analogue): serves the live
     frame, the parameter panel state, and applies edits with a reset —
