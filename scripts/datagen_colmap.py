@@ -38,6 +38,13 @@ SEED = 42
 BACKGROUND = True
 TONEMAPPING = True
 RESOLUTION = int(os.environ.get("DATAGEN_RES", 1024))
+# multi-host fan-out: DATAGEN_SHARD="k/n" renders views with index % n == k.
+# Sobol draws advance for every index on every shard, so view i's camera is
+# identical regardless of layout; each shard writes its own model_shardKofN
+# dir (views are disjoint; merge = union of images + shared cameras/points).
+_shard = os.environ.get("DATAGEN_SHARD")
+SHARD_K, SHARD_N = (int(v) for v in _shard.split("/")) if _shard else (0, 1)
+assert 0 <= SHARD_K < SHARD_N, "DATAGEN_SHARD must be k/n with 0 <= k < n"
 
 
 def sample_unit_sphere(sample):
@@ -87,13 +94,15 @@ def main():
     sampler_in = qmc.Sobol(d=2, seed=SEED + 2)
 
     for i in range(N_VIEWS):
-        print(f"rendering {i + 1}/{N_VIEWS}..")
         center = bb_min + (bb_max - bb_min) * 0.5
         radius = float(np.linalg.norm(bb_max - center))
-        renderer.cam_pos = center + sample_unit_sphere(sampler_out.random()[0, 0:2]) * radius
-        d = center + sample_unit_sphere(sampler_in.random()[0, 0:2]) * radius * 0.1 - np.asarray(
-            renderer.cam_pos
-        )
+        pos = center + sample_unit_sphere(sampler_out.random()[0, 0:2]) * radius
+        aim = center + sample_unit_sphere(sampler_in.random()[0, 0:2]) * radius * 0.1
+        if i % SHARD_N != SHARD_K:
+            continue  # Sobol draws above keep the view stream aligned
+        print(f"rendering {i + 1}/{N_VIEWS}..")
+        renderer.cam_pos = pos
+        d = aim - np.asarray(renderer.cam_pos)
         renderer.cam_dir = d / np.linalg.norm(d)
         renderer.cam_fov = FOVY
         renderer.render(SAMPLES)
@@ -112,7 +121,10 @@ def main():
     print("#cameras:", len(cameras))
     print("#images:", len(images))
     print("#points3D:", len(points3D))
-    colmap.write_model(cameras, images, points3D, path=OUT_PATH)
+    model_path = OUT_PATH if SHARD_N == 1 else os.path.join(
+        OUT_PATH, f"model_shard{SHARD_K}of{SHARD_N}"
+    )
+    colmap.write_model(cameras, images, points3D, path=model_path)
 
 
 if __name__ == "__main__":

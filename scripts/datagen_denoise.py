@@ -32,6 +32,14 @@ H5_NAME = os.environ.get("DATAGEN_H5_NAME", "dataset")
 VOLPATH = os.environ.get("DATAGEN_VOLPATH", "/root/reference/data")
 ENVPATH = os.environ.get("DATAGEN_ENVPATH", "/root/reference/data")
 RESOLUTION = int(os.environ.get("DATAGEN_RES", 1024))
+# multi-host fan-out (SURVEY section 7 step 6): DATAGEN_SHARD="k/n" renders
+# only scenes with index % n == k into per-shard HDF5 files. Scene
+# parameters are drawn for EVERY index on every shard, so scene i is
+# identical regardless of the shard layout (embarrassingly parallel over
+# DCN; merge = concat of the shard files in index order).
+_shard = os.environ.get("DATAGEN_SHARD")
+SHARD_K, SHARD_N = (int(v) for v in _shard.split("/")) if _shard else (0, 1)
+assert 0 <= SHARD_K < SHARD_N, "DATAGEN_SHARD must be k/n with 0 <= k < n"
 ENABLE_RANDOM_TRANSFERFUNC = os.environ.get("DATAGEN_RANDOM_TF", "0") == "1"
 
 
@@ -97,17 +105,23 @@ def main():
 
     size = renderer.resolution()
     h, w = int(size.y), int(size.x)
-    file_input = h5py.File(H5_NAME + "_input.h5", "w")
+    owned = [i for i in range(N_IMAGES) if i % SHARD_N == SHARD_K]
+    h5_stem = H5_NAME + (f"_shard{SHARD_K}of{SHARD_N}" if SHARD_N > 1 else "")
+    file_input = h5py.File(h5_stem + "_input.h5", "w")
     dataset_input = file_input.create_dataset(
-        "color", shape=(N_IMAGES, 3, h, w), dtype=np.float16
+        "color", shape=(len(owned), 3, h, w), dtype=np.float16
     )
-    file_target = h5py.File(H5_NAME + "_target.h5", "w")
+    file_target = h5py.File(h5_stem + "_target.h5", "w")
     dataset_target = file_target.create_dataset(
-        "color", shape=(N_IMAGES, 3, h, w), dtype=np.float16
+        "color", shape=(len(owned), 3, h, w), dtype=np.float16
     )
 
+    j = -1
     for i in range(N_IMAGES):
         params = randomize_parameters(volumes, envmaps)
+        if i % SHARD_N != SHARD_K:
+            continue  # params drawn above keep the scene stream aligned
+        j += 1
         print(f"rendering {i + 1}/{N_IMAGES}..")
         renderer.volume = volpy.Volume(params["vol_path"])
         renderer.commit()
@@ -139,15 +153,15 @@ def main():
         renderer.seed = params["seed_input"]
         renderer.bounces = params["max_bounces"]
         renderer.render(params["samples"])
-        dataset_input[i] = fbo_to_dataset(renderer.fbo_data())
+        dataset_input[j] = fbo_to_dataset(renderer.fbo_data())
         # converged
         renderer.seed = params["seed_target"]
         renderer.render(N_SAMPLES_TARGET)
-        dataset_target[i] = fbo_to_dataset(renderer.fbo_data())
+        dataset_target[j] = fbo_to_dataset(renderer.fbo_data())
 
     file_input.close()
     file_target.close()
-    print(f"{H5_NAME}_input.h5 / {H5_NAME}_target.h5 written.")
+    print(f"{h5_stem}_input.h5 / {h5_stem}_target.h5 written.")
 
 
 if __name__ == "__main__":
