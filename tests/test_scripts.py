@@ -156,3 +156,48 @@ def test_datagen_colmap_reduced(tmp_path):
     assert len(images) == 2 and len(cams) >= 1
     assert cams[0].model == "SIMPLE_PINHOLE"
     assert len(points) >= 1  # the smuggled AABB point
+
+
+@pytest.mark.slow
+def test_train_denoiser_script(tmp_path):
+    """train_denoiser.py runs end-to-end on tiny synthetic HDF5 pairs and
+    writes a parameter checkpoint."""
+    import h5py
+
+    rng = np.random.default_rng(5)
+    clean = rng.random((2, 3, 24, 24)).astype(np.float16)
+    noisy = clean + rng.normal(0, 0.05, clean.shape).astype(np.float16)
+    with h5py.File(tmp_path / "in.h5", "w") as f:
+        f.create_dataset("color", data=noisy)
+    with h5py.File(tmp_path / "tg.h5", "w") as f:
+        f.create_dataset("color", data=clean)
+    out = str(tmp_path / "params.pkl")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "train_denoiser.py"),
+         str(tmp_path / "in.h5"), str(tmp_path / "tg.h5"),
+         "--steps", "3", "--batch", "2", "--patch", "16", "--output", out],
+        capture_output=True, text=True, timeout=900,
+        env={**os.environ, "VOLREN_PLATFORM": "cpu", "PYTHONPATH": REPO},
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "loss" in proc.stdout
+
+
+def test_make_cloud_script(tmp_path):
+    """make_cloud.py produces a loadable .brick volume at small res."""
+    out = str(tmp_path / "cloud.brick")
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "make_cloud.py"),
+         "--res", "32", "--output", out],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "VOLREN_PLATFORM": "cpu", "PYTHONPATH": REPO},
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    sys.path.insert(0, REPO)
+    from volren_tpu.voldata import Volume
+
+    v = Volume(out)
+    lo, hi = v.minorant_majorant()
+    assert hi > 0 and np.isfinite(hi)
