@@ -269,3 +269,22 @@ def test_http_viewer(random_grid16_module):
         assert ignored == {}
     finally:
         v.stop()
+
+
+def test_tiled_render_bit_identical(tiny_renderer):
+    """Row-block tiling must reproduce the untiled chunked render exactly:
+    per-lane sample streams depend only on the absolute pixel row."""
+    from volren_tpu.ops.megakernel import (
+        render_wavefront_chunked,
+        render_wavefront_tiled,
+    )
+
+    r = tiny_renderer
+    scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
+    full = np.asarray(
+        render_wavefront_chunked(scene, params, cfg, 24, 24, 4, 0)
+    )
+    tiled = np.asarray(
+        render_wavefront_tiled(scene, params, cfg, 24, 24, 4, 0, tile_rows=8)
+    )
+    np.testing.assert_array_equal(full, tiled)

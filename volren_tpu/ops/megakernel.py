@@ -756,6 +756,48 @@ def render_wavefront_chunked(
     return state["accum"].reshape(height, width, 4)
 
 
+def render_wavefront_tiled(
+    scene,
+    params,
+    cfg,
+    width,
+    height,
+    spp,
+    spp_base,
+    tile_rows=256,
+    **kwargs,
+):
+    """Row-block driver over render_wavefront_chunked.
+
+    Large frames run as ``height / tile_rows`` blocks through the SAME
+    compiled megastep program (one compile per width x tile_rows shape,
+    not per full resolution), and each block stops as soon as ITS lanes
+    drain — background regions (sky escapes in a bounce or two) no longer
+    march in lockstep with the densest tile. Per-lane sample streams
+    depend only on the absolute pixel row (row0 + local row), so the
+    concatenated image is bit-identical to the untiled render."""
+    if height % tile_rows != 0 or height == tile_rows:
+        return render_wavefront_chunked(
+            scene, params, cfg, width, height, spp, spp_base, **kwargs
+        )
+    blocks = [
+        render_wavefront_chunked(
+            scene,
+            params,
+            cfg,
+            width,
+            tile_rows,
+            spp,
+            spp_base,
+            row0=r0,
+            full_height=height,
+            **kwargs,
+        )
+        for r0 in range(0, height, tile_rows)
+    ]
+    return jnp.concatenate(blocks, axis=0)
+
+
 def render_wavefront(scene, params, cfg, width, height, spp, spp_base, k_march=None):
     """Single-jit full-frame render: SUM of spp samples, (H, W, 4)."""
     acc, _it = render_wavefront_stats(

@@ -79,6 +79,10 @@ class Renderer:
         # None = auto (MXU one-hot majorant gathers on TPU, exact f32
         # scalar gathers elsewhere); True/False forces the path
         self.use_onehot = None
+        # chunked-engine row-block size: frames taller than this render as
+        # row blocks through one compiled program (compile once per block
+        # shape; drained blocks stop early). Bit-identical to untiled.
+        self.tile_rows = 256
         # optional jax.sharding.Mesh: shards the wavefront state row-wise
         # across devices (set via distribute())
         self.mesh = None
@@ -241,9 +245,9 @@ class Renderer:
                     self.sample,
                 )
             else:
-                from .ops.megakernel import render_wavefront_chunked
+                from .ops.megakernel import render_wavefront_tiled
 
-                accum = render_wavefront_chunked(
+                accum = render_wavefront_tiled(
                     self._scene_device(),
                     self._trace_params(),
                     self._config(),
@@ -251,6 +255,7 @@ class Renderer:
                     self._height,
                     int(spp),
                     self.sample,
+                    tile_rows=self.tile_rows,
                 )
             prev = self.sample
             self.sample += int(spp)
