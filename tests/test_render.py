@@ -271,6 +271,7 @@ def test_http_viewer(random_grid16_module):
         v.stop()
 
 
+@pytest.mark.slow
 def test_tiled_render_bit_identical(tiny_renderer):
     """Row-block tiling must reproduce the untiled chunked render exactly:
     per-lane sample streams depend only on the absolute pixel row."""
