@@ -34,6 +34,12 @@ def main():
     p.add_argument("image_b")
     p.add_argument("--flip-a", action="store_true", help="flip A vertically")
     p.add_argument("--flip-b", action="store_true", help="flip B vertically")
+    p.add_argument(
+        "--resize-b",
+        action="store_true",
+        help="box-downscale B to A's resolution (e.g. compare a reduced-res "
+        "render against the reference's published 1024^2 image)",
+    )
     args = p.parse_args()
     a = load_any(args.image_a)
     b = load_any(args.image_b)
@@ -41,6 +47,12 @@ def main():
         a = a[::-1]
     if args.flip_b:
         b = b[::-1]
+    if args.resize_b and a.shape != b.shape:
+        from PIL import Image
+
+        img = Image.fromarray(np.clip(b * 255.0, 0, 255).astype(np.uint8))
+        img = img.resize((a.shape[1], a.shape[0]), Image.BOX)
+        b = np.asarray(img, np.float32) / 255.0
     if a.shape != b.shape:
         raise SystemExit(f"shape mismatch: {a.shape} vs {b.shape}")
     diff = a - b
