@@ -497,9 +497,9 @@ def _phase_regen_sub(rw, ro, scene, params, cfg, width, spp, spp_base, full_heig
     return {k: out[k] for k in _RW["regen"]}
 
 
-@partial(jax.jit, static_argnames=("cfg", "k_march"))
-def _phase_march_sub(rw, ro, scene, params, cfg, k_march):
-    out = phase_march_body({**ro, **rw}, scene, params, cfg, k_march)
+@partial(jax.jit, static_argnames=("cfg", "k_march", "test_every"))
+def _phase_march_sub(rw, ro, scene, params, cfg, k_march, test_every=None):
+    out = phase_march_body({**ro, **rw}, scene, params, cfg, k_march, test_every=test_every)
     return {k: out[k] for k in _RW["march"]}
 
 
@@ -515,6 +515,19 @@ def _phase_finish_sub(rw, ro, scene, params, cfg):
     return {k: out[k] for k in _RW["finish"]}
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _phase_finish_act_sub(rw, ro, scene, params, cfg):
+    """phase_finish + activity count as a widened VECTOR output of the same
+    program — a separate scalar-reduction program (_any_active) executes
+    ~30x slower through this runtime and its scalar output hits the same
+    slow path (see _megastep_jit)."""
+    out = phase_finish_body({**ro, **rw}, scene, params, cfg)
+    n_active = jnp.broadcast_to(
+        (out["mode"] != MODE_INACTIVE).sum(dtype=jnp.int32), (8,)
+    )
+    return {k: out[k] for k in _RW["finish"]}, n_active
+
+
 def _split(state, name):
     rw = {k: state[k] for k in _RW[name]}
     ro = {k: v for k, v in state.items() if k not in _RW[name]}
@@ -528,10 +541,10 @@ def phase_regen(state, scene, params, cfg, width, spp, spp_base, full_height):
     return out
 
 
-def phase_march(state, scene, params, cfg, k_march):
+def phase_march(state, scene, params, cfg, k_march, test_every=None):
     rw, ro = _split(state, "march")
     out = dict(state)
-    out.update(_phase_march_sub(rw, ro, scene, params, cfg, k_march))
+    out.update(_phase_march_sub(rw, ro, scene, params, cfg, k_march, test_every))
     return out
 
 
@@ -547,6 +560,16 @@ def phase_finish(state, scene, params, cfg):
     out = dict(state)
     out.update(_phase_finish_sub(rw, ro, scene, params, cfg))
     return out
+
+
+def phase_finish_act(state, scene, params, cfg):
+    """phase_finish that also reports the post-step active-lane count (as
+    an 8-wide vector; see _phase_finish_act_sub)."""
+    rw, ro = _split(state, "finish")
+    out = dict(state)
+    upd, n_active = _phase_finish_act_sub(rw, ro, scene, params, cfg)
+    out.update(upd)
+    return out, n_active
 
 
 @jax.jit
@@ -565,15 +588,23 @@ def render_wavefront_host(
     row0=0,
     full_height=None,
     k_march=None,
-    check_every=8,
+    check_every=16,
     n_groups=1,
+    test_every=None,
 ):
     """Host-stepped wavefront render (the fast path). Returns the
-    (height, width, 4) SUM of spp per-sample (L, alpha) values."""
+    (height, width, 4) SUM of spp per-sample (L, alpha) values.
+
+    check_every amortizes the activity readback: through the tunneled
+    runtime a device->host sync costs ~50-100 ms, far more than a whole
+    wavefront step (~0.3 ms at 65k lanes) — overshooting drained states by
+    up to check_every-1 steps is much cheaper than syncing often."""
     on_tpu = jax.default_backend() == "tpu"
     full_height = height if full_height is None else full_height
     if k_march is None:
         k_march = DEFAULT_K_MARCH if on_tpu else 4
+    if test_every is None:
+        test_every = DEFAULT_TEST_EVERY
     spp = jnp.asarray(spp, jnp.int32)
     spp_base = jnp.asarray(spp_base, jnp.int32)
 
@@ -583,14 +614,19 @@ def render_wavefront_host(
     max_steps = 4096 + 512 * int(spp)
     state = init_state(width, height, row0)
     steps = 0
+    import numpy as _np
+
     while True:
-        for _ in range(check_every):
+        for i in range(check_every):
             state = phase_regen(state, scene, params, cfg, width, spp, spp_base, full_height)
-            state = phase_march(state, scene, params, cfg, k_march)
+            state = phase_march(state, scene, params, cfg, k_march, test_every)
             state = phase_nee(state, scene, params, cfg)
-            state = phase_finish(state, scene, params, cfg)
+            if i == check_every - 1:
+                state, n_active = phase_finish_act(state, scene, params, cfg)
+            else:
+                state = phase_finish(state, scene, params, cfg)
         steps += check_every
-        if not bool(_any_active(state["mode"])):
+        if int(_np.asarray(n_active)[0]) == 0:
             break
         if steps > max_steps:
             import numpy as _np

@@ -164,13 +164,20 @@ def render_sharded_host(scene, params, cfg, width, height, spp, spp_base, mesh: 
     k_march = kw.get("k_march") or (
         M.DEFAULT_K_MARCH if jax.default_backend() == "tpu" else 4
     )
-    check_every = kw.get("check_every", 8)
+    check_every = kw.get("check_every", 16)
+    test_every = kw.get("test_every", M.DEFAULT_TEST_EVERY)
     while True:
-        for _ in range(check_every):
+        for i in range(check_every):
             state = M.phase_regen(state, scene, params, cfg, width, spp, spp_base, height)
-            state = M.phase_march(state, scene, params, cfg, k_march)
+            state = M.phase_march(state, scene, params, cfg, k_march, test_every)
             state = M.phase_nee(state, scene, params, cfg)
-            state = M.phase_finish(state, scene, params, cfg)
-        if not bool(M._any_active(state["mode"])):
+            if i == check_every - 1:
+                # activity as a vector output of the finish program itself —
+                # a separate scalar-reduction program stalls the pipeline
+                # (see megakernel._phase_finish_act_sub)
+                state, n_active = M.phase_finish_act(state, scene, params, cfg)
+            else:
+                state = M.phase_finish(state, scene, params, cfg)
+        if int(np.asarray(n_active)[0]) == 0:
             break
     return state["accum"].reshape(height, width, 4)

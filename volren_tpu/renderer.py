@@ -70,9 +70,10 @@ class Renderer:
         self.engine = "wavefront"
         # "chunked": host loop over unrolled straight-line megastep programs
         # (the TPU fast path — gathers vectorize only OUTSIDE device loops,
-        # see ops.gather); "device": whole loop in one jitted while_loop
-        # (good on CPU, scalarizes gathers on TPU); "host": per-phase
-        # dispatch (interruptible, most overhead)
+        # see ops.gather; measured 1.9 spp/s @256^2 vs 0.86 for "host");
+        # "device": whole loop in one jitted while_loop (good on CPU,
+        # scalarizes gathers on TPU); "host": per-phase dispatch
+        # (interruptible; each phase pays the runtime's per-dispatch tax)
         self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
             "chunked" if jax.default_backend() == "tpu" else "device"
         )
@@ -185,6 +186,10 @@ class Renderer:
         has_emission = frame < len(self._emission_grids)
         use_onehot = self.use_onehot
         if use_onehot is None:
+            # one-hot MXU majorant gathers: ~1.8x end-to-end on TPU and
+            # equal-mean vs exact gathers in every engine (re-verified
+            # round 3; a transient ~20% darkening once seen in megasteps
+            # did NOT reproduce — see NOTES.md)
             use_onehot = jax.default_backend() == "tpu"
         return TraceConfig(
             use_dda=self._use_dda,
