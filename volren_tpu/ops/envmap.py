@@ -41,8 +41,38 @@ def _bilinear(img, u, v):
     return top * (1 - fy) + bot * fy
 
 
+def bilinear_env(env: EnvDevice, u, v):
+    """GL-style bilinear fetch of env.envmap returning (N, 4) rows.
+
+    Uses the one-gather quad-row table when the EnvDevice carries it (the
+    four taps ride in a single 16-wide row, EnvDevice.quad_rows) and
+    reproduces _bilinear bit-for-bit: same f32 texels, same lerp order,
+    including the u-wrap / v-clamp edge behaviour."""
+    if env.quad_rows is None:
+        return _bilinear(env.envmap, u, v)
+    h, w = env.envmap.shape[0], env.envmap.shape[1]
+    x = u * w - 0.5
+    y = v * h - 0.5
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    x0w = jnp.mod(x0, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    row = vgather(env.quad_rows, y0c * w + x0w)  # [t00 t01 t10 t11] x 4ch
+    t00, t01 = row[..., 0:4], row[..., 4:8]
+    # v above the top row: reference clamps BOTH taps to row 0, so the
+    # bottom pair must equal the top pair bitwise
+    above = (y0 < 0)[..., None]
+    t10 = jnp.where(above, t00, row[..., 8:12])
+    t11 = jnp.where(above, t01, row[..., 12:16])
+    top = t00 * (1 - fx) + t01 * fx
+    bot = t10 * (1 - fx) + t11 * fx
+    return top * (1 - fy) + bot * fy
+
+
 def texture_env(env: EnvDevice, u, v):
-    return env.strength * _bilinear(env.envmap, u, v)[..., :3]
+    return env.strength * bilinear_env(env, u, v)[..., :3]
 
 
 def dir_to_uv(inv_transform, direction):
@@ -133,12 +163,15 @@ def sample_environment_alias(env: EnvDevice, u2):
     scaled = u2[..., 0] * n
     j = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
     frac_x = scaled - j.astype(jnp.float32)
-    row = vgather(env.alias_packed, j)  # single gather
-    prob = row[..., 0]
+    # two narrow fetches (2 + 4 row-elements) instead of one 12-wide row —
+    # gather cost on this runtime is per fetched element (EnvDevice.alias_pa)
+    pa = vgather(env.alias_pa, j)
+    prob = pa[..., 0]
     keep = u2[..., 1] < prob
-    texel = jnp.where(keep, j, row[..., 1].astype(jnp.int32))
-    pdf = jnp.where(keep, row[..., 2], row[..., 3])
-    le_texel = jnp.where(keep[..., None], row[..., 4:7], row[..., 7:10])
+    texel = jnp.where(keep, j, pa[..., 1].astype(jnp.int32))
+    tex = vgather(env.alias_tex, texel)  # [pdf, r, g, b] of the CHOSEN texel
+    pdf = tex[..., 0]
+    le_texel = tex[..., 1:4]
     # conditional rescale keeps the second uniform usable as in-texel jitter
     frac_y = jnp.where(
         keep,

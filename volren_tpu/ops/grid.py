@@ -37,8 +37,18 @@ def _brick_index(grid: GridDevice, ipos):
 def lookup_density_brick(grid: GridDevice, ipos):
     """Nearest-neighbour voxel decode (common.glsl:268-275).
 
-    ipos: (N, 3) float32 index-space positions.
+    ipos: (N, 3) float32 index-space positions. When the grid carries a
+    pre-decoded dense voxel array (GridDevice.dense), the fetch is ONE
+    gather with bit-identical values (the decode ran at upload); otherwise
+    two dependent gathers (meta row, then atlas byte).
     """
+    if grid.dense is not None:
+        bx, by, bz = grid.n_bricks
+        iipos = jnp.floor(ipos).astype(jnp.int32)
+        vx = jnp.clip(iipos[..., 0], 0, bx * 8 - 1)
+        vy = jnp.clip(iipos[..., 1], 0, by * 8 - 1)
+        vz = jnp.clip(iipos[..., 2], 0, bz * 8 - 1)
+        return _gather(grid.dense, (vz * (by * 8) + vy) * (bx * 8) + vx)
     bidx, voff = _brick_index(grid, ipos)
     meta = _gather(grid.brick_meta.reshape(-1, 3), bidx)
     slot = meta[..., 0].astype(jnp.int32)

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import rng as _rng
-from .envmap import _bilinear, dir_to_uv, sample_environment_alias
+from .envmap import bilinear_env, dir_to_uv, sample_environment_alias
 from .geometry import (
     M_PI,
     INV_4PI,
@@ -88,8 +88,7 @@ def _w3(mask, a, b):
 
 
 # envmap fetch helpers live in ops.envmap (single definition of the
-# parity-critical math); keep the old local names as aliases
-_env_bilinear_rows = _bilinear
+# parity-critical math)
 _dir_to_uv = dir_to_uv
 
 
@@ -357,7 +356,7 @@ def phase_nee_body(s, scene, params, cfg):
         # TraceConfig.env_nearest_nee for the filtering tradeoff)
         le = scene.env.strength * le_texel
     else:
-        le = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)[..., :3]
+        le = scene.env.strength * bilinear_env(scene.env, uv_x, uv_y)[..., :3]
     pending_new = throughput * (mis * f_p / jnp.maximum(pdf_nee, 1e-20))[..., None] * le
     s["pending"] = _w3(has_nee, pending_new, s["pending"])
     s["throughput"] = throughput
@@ -402,7 +401,7 @@ def phase_finish_body(s, scene, params, cfg, do_escape=True):
     if do_escape:
         esc = event == EV_EXT_EXIT
         uv_x, uv_y = _dir_to_uv(scene.env.inv_transform, p_dir)
-        le_env = scene.env.strength * _env_bilinear_rows(scene.env.envmap, uv_x, uv_y)[..., :3]
+        le_env = scene.env.strength * bilinear_env(scene.env, uv_x, uv_y)[..., :3]
         avg_w = scene.env.imp_mips[-1].reshape(())
         pdf_esc = luma(le_env) / avg_w * INV_4PI
         a2 = s["last_f_p"] * s["last_f_p"]

@@ -10,6 +10,7 @@ scalars — camera, scales, bounds). Brick-grid arrays use a flat-slot atlas
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -39,6 +40,16 @@ class GridDevice(NamedTuple):
     # the MXU one-hot gather path (ops.gather.onehot_gather) — scalarized
     # gathers cost ~12 ns/elem on TPU, the one-hot matmul ~0.5 ns/elem
     mip_maj_oh: jnp.ndarray = None
+    # OPTIONAL pre-decoded flat (Z*Y*X,) f32 voxel grid (absolute density,
+    # decode law meta_min + u8/255 * (max-min) applied at upload with the
+    # exact f32 ops the device decode uses — values are BIT-IDENTICAL to the
+    # brick-path decode). Collapses a density fetch from two dependent
+    # gathers (meta row + atlas byte) to ONE gather: measured on the v5e,
+    # the resolve-phase gathers were 2.95 of 6.23 ms/step at 256^2, so this
+    # is the single largest step cost. Built when the padded voxel extent
+    # fits VOLREN_DENSE_MAX_BYTES (default 256 MB of HBM); None otherwise
+    # (the brick path remains the big-volume fallback).
+    dense: jnp.ndarray = None
 
     @property
     def n_bricks(self):
@@ -76,12 +87,21 @@ class EnvDevice(NamedTuple):
     # O(1) texel sampling (Vose alias table over imp_mips[0]); draws the
     # exact same texel distribution as the hierarchical mip warp — the warp's
     # box-filtered pyramid telescopes to P(texel) = w / (N * avg).
-    # Packed (D*D, 12) float32 rows [keep_prob, alias_idx, own_pdf,
-    # alias_pdf, own_rgb(3), alias_rgb(3), pad(2)] so ONE row gather serves
-    # the whole NEE sample including its radiance (pdf = w/avg * 1/4pi,
-    # solid-angle convention of common.glsl:143-145; idx exact in f32 for
-    # D<=4096)
-    alias_packed: jnp.ndarray
+    # Split into TWO narrow tables (gather cost on this runtime is per
+    # gathered row-ELEMENT, so 2+4 fetched values beat one 12-wide row):
+    # alias_pa (D*D, 2) [keep_prob, alias_idx] decides the texel, then
+    # alias_tex (D*D, 4) [pdf, r, g, b] is fetched at the CHOSEN texel
+    # (pdf = w/avg * 1/4pi, solid-angle convention of common.glsl:143-145;
+    # idx exact in f32 for D<=4096; rgb is the texel's box-filtered
+    # radiance used by TraceConfig.env_nearest_nee)
+    alias_pa: jnp.ndarray
+    alias_tex: jnp.ndarray
+    # (H*W, 16) f32 quad rows: row (y, x) holds the four bilinear taps
+    # [t(y,x), t(y,(x+1)%W), t(y1,x), t(y1,(x+1)%W)] with y1 = clip(y+1),
+    # each 4-wide — ONE row gather serves a full GL-style bilinear fetch
+    # (vs 4 row gathers; the escape fetch measured 1.59 of 6.23 ms/step).
+    # Same f32 texels, so results are bit-identical to the 4-tap path.
+    quad_rows: jnp.ndarray = None
 
 
 class TFDevice(NamedTuple):
@@ -181,7 +201,30 @@ def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:
         transform=jnp.asarray(t.astype(np.float32)),
         inv_transform=jnp.asarray(inv.astype(np.float32)),
         mip_maj_oh=pack_onehot_table(mip_maj, round_up=True),
+        dense=_build_dense(brick_grid),
     )
+
+
+def _build_dense(brick_grid):
+    """Pre-decode the whole brick grid to a flat (Z*Y*X,) f32 voxel array
+    (see GridDevice.dense). Replicates the device decode bit-for-bit:
+    d = min + (u8 * f32(1/255)) * (max - min), all in f32."""
+    bz, by, bx = brick_grid.range.shape[:3]
+    n_vox = (bz * 8) * (by * 8) * (bx * 8)
+    limit = int(os.environ.get("VOLREN_DENSE_MAX_BYTES", str(256 << 20)))
+    if n_vox * 4 > limit:
+        return None
+    slots = brick_grid.indirection.astype(np.int64).reshape(bz, by, bx)
+    rmin = brick_grid.range[..., 0].astype(np.float32)
+    rmax = brick_grid.range[..., 1].astype(np.float32)
+    atlas = brick_grid.atlas.reshape(brick_grid.atlas.shape[0], 8, 8, 8)
+    unorm = atlas.astype(np.float32) * np.float32(1.0 / 255.0)
+    # (bz, by, bx, 8, 8, 8) local voxels (z, y, x minor order)
+    vals = rmin[..., None, None, None] + unorm[slots] * (rmax - rmin)[..., None, None, None]
+    dense = np.ascontiguousarray(
+        vals.transpose(0, 3, 1, 4, 2, 5).reshape(bz * 8, by * 8, bx * 8)
+    )
+    return jnp.asarray(dense.reshape(-1))
 
 
 def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -230,33 +273,44 @@ def upload_environment(env) -> EnvDevice:
         .mean(axis=(1, 3))
         .reshape(dim * dim, 3)
     )
-    packed = np.concatenate(
+    alias_pa = np.stack([prob, alias.astype(np.float32)], axis=-1).astype(np.float32)
+    alias_tex = np.concatenate([pdf[:, None], texel_rgb], axis=-1).astype(np.float32)
+    envmap4 = np.concatenate(
         [
-            np.stack([prob, alias.astype(np.float32), pdf, pdf[alias]], axis=-1),
-            texel_rgb,
-            texel_rgb[alias],
-            np.zeros((dim * dim, 2), np.float32),
+            np.asarray(env.envmap, np.float32),
+            np.zeros((*np.asarray(env.envmap).shape[:2], 1), np.float32),
         ],
         axis=-1,
-    ).astype(np.float32)
+    )
     return EnvDevice(
-        envmap=jnp.asarray(
-            np.concatenate(
-                [
-                    np.asarray(env.envmap, np.float32),
-                    np.zeros((*np.asarray(env.envmap).shape[:2], 1), np.float32),
-                ],
-                axis=-1,
-            )
-        ),
+        envmap=jnp.asarray(envmap4),
         imp_mips=tuple(jnp.asarray(m) for m in env.impmap_mips),
         transform=jnp.asarray(np.asarray(env.transform, np.float32)),
         inv_transform=jnp.asarray(
             np.linalg.inv(np.asarray(env.transform, np.float64)).astype(np.float32)
         ),
         strength=jnp.asarray(np.float32(env.strength)),
-        alias_packed=jnp.asarray(packed),
+        alias_pa=jnp.asarray(alias_pa),
+        alias_tex=jnp.asarray(alias_tex),
+        quad_rows=jnp.asarray(_build_quad_rows(envmap4)),
     )
+
+
+def _build_quad_rows(envmap4: np.ndarray) -> np.ndarray:
+    """(H, W, 4) -> (H*W, 16) quad rows for one-gather bilinear fetches
+    (see EnvDevice.quad_rows): u wraps, v clamps, matching envmap._bilinear."""
+    h, w = envmap4.shape[:2]
+    x1 = (np.arange(w) + 1) % w
+    y1 = np.clip(np.arange(h) + 1, 0, h - 1)
+    return np.concatenate(
+        [
+            envmap4,
+            envmap4[:, x1],
+            envmap4[y1],
+            envmap4[y1][:, x1],
+        ],
+        axis=-1,
+    ).reshape(h * w, 16).astype(np.float32)
 
 
 def upload_transferfunc(tf) -> TFDevice:
