@@ -163,15 +163,16 @@ def sample_environment_alias(env: EnvDevice, u2):
     scaled = u2[..., 0] * n
     j = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
     frac_x = scaled - j.astype(jnp.float32)
-    # two narrow fetches (2 + 4 row-elements) instead of one 12-wide row —
-    # gather cost on this runtime is per fetched element (EnvDevice.alias_pa)
-    pa = vgather(env.alias_pa, j)
-    prob = pa[..., 0]
+    # ONE wide row gather. A split probe(2)+result(4) layout was measured
+    # SLOWER (1.32 vs 0.77 ms/step at 65k lanes) despite fetching half the
+    # elements: the second fetch depends on the first, and the dependent
+    # chain costs more than the extra row width (EnvDevice.alias_packed).
+    row = vgather(env.alias_packed, j)
+    prob = row[..., 0]
     keep = u2[..., 1] < prob
-    texel = jnp.where(keep, j, pa[..., 1].astype(jnp.int32))
-    tex = vgather(env.alias_tex, texel)  # [pdf, r, g, b] of the CHOSEN texel
-    pdf = tex[..., 0]
-    le_texel = tex[..., 1:4]
+    texel = jnp.where(keep, j, row[..., 1].astype(jnp.int32))
+    pdf = jnp.where(keep, row[..., 2], row[..., 3])
+    le_texel = jnp.where(keep[..., None], row[..., 4:7], row[..., 7:10])
     # conditional rescale keeps the second uniform usable as in-texel jitter
     frac_y = jnp.where(
         keep,

@@ -450,14 +450,20 @@ def phase_finish_body(s, scene, params, cfg, do_escape=True):
 
 
 def step_body(s, scene, params, cfg, width, spp, spp_base, full_height, k_march,
-              do_escape=True, test_every=None):
+              do_escape=True, test_every=None, do_nee=True):
     """One full wavefront step = regen -> K march -> nee -> finish. Shared
     by the host-phase driver and the single-jit tile variant so both
     produce bit-identical samples. See phase_finish_body for do_escape and
-    phase_march_body for test_every."""
+    phase_march_body for test_every.
+
+    ``do_nee=False`` parks EV_EXT_HIT lanes for a later step — the NEE
+    alias-row gather is the phase's dominant cost, so the chunked engine
+    runs it on alternating steps (parked lanes draw nothing while waiting:
+    bit-identical output, slightly longer tails)."""
     s = phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height)
     s = phase_march_body(s, scene, params, cfg, k_march, test_every=test_every)
-    s = phase_nee_body(s, scene, params, cfg)
+    if do_nee:
+        s = phase_nee_body(s, scene, params, cfg)
     s = phase_finish_body(s, scene, params, cfg, do_escape=do_escape)
     return s
 
@@ -717,13 +723,13 @@ DEFAULT_TEST_EVERY = 2
 def _megastep_jit(state, scene, params, cfg, width, spp, spp_base, full_height,
                   k_march, unroll, test_every=DEFAULT_TEST_EVERY):
     for i in range(unroll):
-        # escape resolution (the 4-row bilinear env fetch) on alternating
-        # steps only — odd phase so the megastep's LAST step always drains
-        # parked escape lanes
-        do_escape = (i % 2 == 1) or unroll == 1
+        # escape resolution (quad-row bilinear env fetch) and NEE (alias-row
+        # gather) on alternating steps only — odd phase so the megastep's
+        # LAST step always drains parked escape/ext-hit lanes
+        alt = (i % 2 == 1) or unroll == 1
         state = step_body(state, scene, params, cfg, width, spp, spp_base,
-                          full_height, k_march, do_escape=do_escape,
-                          test_every=test_every)
+                          full_height, k_march, do_escape=alt,
+                          test_every=test_every, do_nee=alt)
     # activity as a widened VECTOR output of the same program: a separate
     # scalar-reduction program (the old _any_active) executes ~30x slower
     # through this runtime, and scalar program outputs hit the same slow

@@ -87,15 +87,13 @@ class EnvDevice(NamedTuple):
     # O(1) texel sampling (Vose alias table over imp_mips[0]); draws the
     # exact same texel distribution as the hierarchical mip warp — the warp's
     # box-filtered pyramid telescopes to P(texel) = w / (N * avg).
-    # Split into TWO narrow tables (gather cost on this runtime is per
-    # gathered row-ELEMENT, so 2+4 fetched values beat one 12-wide row):
-    # alias_pa (D*D, 2) [keep_prob, alias_idx] decides the texel, then
-    # alias_tex (D*D, 4) [pdf, r, g, b] is fetched at the CHOSEN texel
-    # (pdf = w/avg * 1/4pi, solid-angle convention of common.glsl:143-145;
-    # idx exact in f32 for D<=4096; rgb is the texel's box-filtered
-    # radiance used by TraceConfig.env_nearest_nee)
-    alias_pa: jnp.ndarray
-    alias_tex: jnp.ndarray
+    # Packed (D*D, 10) float32 rows [keep_prob, alias_idx, own_pdf,
+    # alias_pdf, own_rgb(3), alias_rgb(3)] so ONE row gather serves the
+    # whole NEE sample including its radiance (pdf = w/avg * 1/4pi,
+    # solid-angle convention of common.glsl:143-145; idx exact in f32 for
+    # D<=4096). A split probe+result layout was measured SLOWER — the
+    # dependent second gather costs more than the extra row width.
+    alias_packed: jnp.ndarray
     # (H*W, 16) f32 quad rows: row (y, x) holds the four bilinear taps
     # [t(y,x), t(y,(x+1)%W), t(y1,x), t(y1,(x+1)%W)] with y1 = clip(y+1),
     # each 4-wide — ONE row gather serves a full GL-style bilinear fetch
@@ -273,8 +271,14 @@ def upload_environment(env) -> EnvDevice:
         .mean(axis=(1, 3))
         .reshape(dim * dim, 3)
     )
-    alias_pa = np.stack([prob, alias.astype(np.float32)], axis=-1).astype(np.float32)
-    alias_tex = np.concatenate([pdf[:, None], texel_rgb], axis=-1).astype(np.float32)
+    packed = np.concatenate(
+        [
+            np.stack([prob, alias.astype(np.float32), pdf, pdf[alias]], axis=-1),
+            texel_rgb,
+            texel_rgb[alias],
+        ],
+        axis=-1,
+    ).astype(np.float32)
     envmap4 = np.concatenate(
         [
             np.asarray(env.envmap, np.float32),
@@ -290,8 +294,7 @@ def upload_environment(env) -> EnvDevice:
             np.linalg.inv(np.asarray(env.transform, np.float64)).astype(np.float32)
         ),
         strength=jnp.asarray(np.float32(env.strength)),
-        alias_pa=jnp.asarray(alias_pa),
-        alias_tex=jnp.asarray(alias_tex),
+        alias_packed=jnp.asarray(packed),
         quad_rows=jnp.asarray(_build_quad_rows(envmap4)),
     )
 
