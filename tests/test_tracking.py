@@ -206,3 +206,28 @@ def test_rotated_volume_estimators_agree(random_grid16):
     ma, mb = float(np.asarray(tr_a).mean()), float(np.asarray(tr_b).mean())
     assert abs(ma - mb) < 0.01, (ma, mb)
     assert 0.05 < ma < 0.999
+
+
+def test_trilinear_quad_rows_bit_identical(random_grid16):
+    """The dense_quad 2-gather trilinear path must match the 8-tap brick
+    path BIT-FOR-BIT, including clamped taps outside the padded extent
+    (the TF classification path relies on this, common.glsl:289-297)."""
+    from volren_tpu.ops.grid import lookup_density_trilinear
+
+    scene, params = make_scene(random_grid16, density_scale=1.3)
+    gd = scene.density
+    assert gd.dense_quad is not None
+    gd_plain = gd._replace(dense_quad=None)
+    rng = np.random.default_rng(3)
+    # positions spanning inside, boundary, and far outside (negative too)
+    pos = np.concatenate(
+        [
+            rng.uniform(-3.0, 19.0, size=(20000, 3)),
+            rng.uniform(-0.51, 0.51, size=(2000, 3)),  # all-negative floors
+            rng.uniform(14.5, 18.0, size=(2000, 3)),  # high-clamp region
+        ]
+    ).astype(np.float32)
+    pos = jnp.asarray(pos)
+    a = jax.jit(lookup_density_trilinear)(gd, pos, params.density_scale)
+    b = jax.jit(lookup_density_trilinear)(gd_plain, pos, params.density_scale)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

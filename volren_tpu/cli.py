@@ -147,8 +147,26 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps, serve_port
     return 0
 
 
+def _apply_platform(argv: list[str]) -> list[str]:
+    """Honor --cpu / VOLREN_PLATFORM before the first backend touch.
+
+    Setting JAX_PLATFORMS in the environment is NOT reliable here: site
+    hooks may import jax at interpreter startup, after which only
+    jax.config.update takes effect. Must run before any jax.devices()/
+    array creation."""
+    platform = os.environ.get("VOLREN_PLATFORM", "")
+    if "--cpu" in argv:
+        argv = [a for a in argv if a != "--cpu"]
+        platform = "cpu"
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    return argv
+
+
 def main(argv: list[str] | None = None) -> int:
-    argv = list(sys.argv[1:] if argv is None else argv)
+    argv = _apply_platform(list(sys.argv[1:] if argv is None else argv))
     renderer = Renderer()
 
     interactive = True

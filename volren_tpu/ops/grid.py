@@ -92,10 +92,50 @@ def lookup_density(grid: GridDevice, ipos, density_scale):
 
 
 def lookup_density_trilinear(grid: GridDevice, ipos, density_scale):
-    """Trilinear decode (common.glsl:289-297)."""
+    """Trilinear decode (common.glsl:289-297).
+
+    With GridDevice.dense_quad present, the 8 corner fetches collapse to
+    TWO quad-row gathers (z and z+1 planes) — bit-identical values and
+    summation order (gather cost on this runtime is per op, not per byte).
+    """
     p = ipos - 0.5
     base = jnp.floor(p)
     f = p - base
+    if grid.dense_quad is not None:
+        bx, by, bz = grid.n_bricks
+        X, Y, Z = bx * 8, by * 8, bz * 8
+        ib = base.astype(jnp.int32)
+        x0 = jnp.clip(ib[..., 0], 0, X - 1)
+        y0 = jnp.clip(ib[..., 1], 0, Y - 1)
+        z0 = jnp.clip(ib[..., 2], 0, Z - 1)
+        z1 = jnp.clip(ib[..., 2] + 1, 0, Z - 1)
+        row0 = _gather(grid.dense_quad, (z0 * Y + y0) * X + x0)
+        row1 = _gather(grid.dense_quad, (z1 * Y + y0) * X + x0)
+        # under-clamp fix-up: when floor < 0 the +1 tap also clamps to 0,
+        # but the prebuilt row holds v(0), v(1) — select the low corner
+        ux = ib[..., 0] < 0
+        uy = ib[..., 1] < 0
+
+        def corners(row):
+            q00, q10, q01, q11 = (row[..., i] for i in range(4))
+            q10 = jnp.where(ux, q00, q10)
+            q11 = jnp.where(ux, q01, q11)
+            q01 = jnp.where(uy, q00, q01)
+            q11 = jnp.where(uy, q10, q11)
+            return q00, q10, q01, q11
+
+        planes = (corners(row0), corners(row1))
+        acc = 0.0
+        for dz in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    w = (
+                        (f[..., 0] if dx else 1.0 - f[..., 0])
+                        * (f[..., 1] if dy else 1.0 - f[..., 1])
+                        * (f[..., 2] if dz else 1.0 - f[..., 2])
+                    )
+                    acc = acc + w * planes[dz][dy * 2 + dx]
+        return density_scale * acc
     acc = 0.0
     for dz in (0, 1):
         for dy in (0, 1):

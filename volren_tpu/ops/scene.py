@@ -50,6 +50,14 @@ class GridDevice(NamedTuple):
     # fits VOLREN_DENSE_MAX_BYTES (default 256 MB of HBM); None otherwise
     # (the brick path remains the big-volume fallback).
     dense: jnp.ndarray = None
+    # OPTIONAL (Z*Y*X, 4) f32 quad rows over `dense`: row (z, y, x) holds
+    # the 2x2 xy-neighbourhood [v(x,y), v(x1,y), v(x,y1), v(x1,y1)] with
+    # x1/y1 clamped to the extent. A trilinear fetch (the TF classification
+    # path, common.glsl:289-297) becomes TWO row gathers (z and z+1) instead
+    # of EIGHT scalar gathers — gather cost on this runtime is per OP, not
+    # per byte. Values and summation order are bit-identical to the 8-tap
+    # path. Built when 16 bytes/voxel fits VOLREN_DENSE_MAX_BYTES.
+    dense_quad: jnp.ndarray = None
 
     @property
     def n_bricks(self):
@@ -199,19 +207,20 @@ def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:
         transform=jnp.asarray(t.astype(np.float32)),
         inv_transform=jnp.asarray(inv.astype(np.float32)),
         mip_maj_oh=pack_onehot_table(mip_maj, round_up=True),
-        dense=_build_dense(brick_grid),
+        **_build_dense_tables(brick_grid),
     )
 
 
-def _build_dense(brick_grid):
+def _build_dense_tables(brick_grid):
     """Pre-decode the whole brick grid to a flat (Z*Y*X,) f32 voxel array
-    (see GridDevice.dense). Replicates the device decode bit-for-bit:
+    (see GridDevice.dense) plus the (Z*Y*X, 4) trilinear quad rows
+    (GridDevice.dense_quad). Replicates the device decode bit-for-bit:
     d = min + (u8 * f32(1/255)) * (max - min), all in f32."""
     bz, by, bx = brick_grid.range.shape[:3]
     n_vox = (bz * 8) * (by * 8) * (bx * 8)
     limit = int(os.environ.get("VOLREN_DENSE_MAX_BYTES", str(256 << 20)))
     if n_vox * 4 > limit:
-        return None
+        return {}
     slots = brick_grid.indirection.astype(np.int64).reshape(bz, by, bx)
     rmin = brick_grid.range[..., 0].astype(np.float32)
     rmax = brick_grid.range[..., 1].astype(np.float32)
@@ -222,7 +231,16 @@ def _build_dense(brick_grid):
     dense = np.ascontiguousarray(
         vals.transpose(0, 3, 1, 4, 2, 5).reshape(bz * 8, by * 8, bx * 8)
     )
-    return jnp.asarray(dense.reshape(-1))
+    out = {"dense": jnp.asarray(dense.reshape(-1))}
+    if n_vox * 16 <= limit:
+        x1 = np.minimum(np.arange(bx * 8) + 1, bx * 8 - 1)
+        y1 = np.minimum(np.arange(by * 8) + 1, by * 8 - 1)
+        quad = np.stack(
+            [dense, dense[:, :, x1], dense[:, y1], dense[:, y1][:, :, x1]],
+            axis=-1,
+        )
+        out["dense_quad"] = jnp.asarray(quad.reshape(n_vox, 4))
+    return out
 
 
 def build_alias_table(weights: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
