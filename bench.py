@@ -7,6 +7,14 @@ Incremental by design (round-1 lesson): stages run smallest-first
 best-so-far result, and the watchdog emits that partial result instead of
 a zero if the device wedges mid-run. A sick device still lands a number.
 
+Process isolation (round-2 lesson): the measurement runs in a CHILD
+process; the parent never imports jax. A SIGALRM watchdog inside one
+process cannot fire while the main thread is blocked inside a wedged
+PJRT backend-init C call (observed: the 'axon' tunnel hangs device
+enumeration indefinitely), so the deadline must be enforced from
+outside. The child streams @RESULT lines; the parent emits the last one
+(or a zero line) and kills the child at the budget.
+
 vs_baseline anchor: the reference publishes NO numbers (BASELINE.md); its
 perf contract is one compute dispatch = +1 spp over the full frame
 (/root/reference/src/renderer.cpp:137-140). The working target adopted in
@@ -64,14 +72,17 @@ def _result_line():
 
 
 def _emit(extra=None):
+    """Child-side: stream the current best as an @RESULT line (stdout).
+    The parent keeps the LAST one and prints it as the final JSON."""
     line = dict(_result_line())
     if extra:
         line.update(extra)
-    print(json.dumps(line), flush=True)
+    print("@RESULT " + json.dumps(line), flush=True)
 
 
 def _watchdog(seconds):
-    """On stall, emit the best-so-far JSON line (never a silent timeout)."""
+    """Child-side backstop for stalls between Python bytecodes. Stalls
+    inside a C call (wedged backend init) are the PARENT's job."""
     import signal
 
     def on_alarm(signum, frame):
@@ -81,6 +92,67 @@ def _watchdog(seconds):
     if hasattr(signal, "SIGALRM"):
         signal.signal(signal.SIGALRM, on_alarm)
         signal.alarm(seconds)
+
+
+def _parent():
+    """Run the measurement in a child process and ALWAYS print one JSON
+    line, even if the child hangs in backend init or dies."""
+    import subprocess
+
+    budget = int(os.environ.get("BENCH_TIMEOUT", "1400"))
+    deadline = time.time() + budget
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--child"],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    best = None
+    import selectors
+
+    sel = selectors.DefaultSelector()
+    sel.register(child.stdout, selectors.EVENT_READ)
+    buf = ""
+    while True:
+        left = deadline - time.time()
+        if left <= 0:
+            break
+        if not sel.select(timeout=min(left, 5.0)):
+            if child.poll() is not None:
+                break
+            continue
+        chunk = os.read(child.stdout.fileno(), 65536).decode(errors="replace")
+        if not chunk:
+            break  # EOF: child exited
+        buf += chunk
+        while "\n" in buf:
+            line, buf = buf.split("\n", 1)
+            if line.startswith("@RESULT "):
+                try:
+                    best = json.loads(line[len("@RESULT "):])
+                except ValueError:
+                    pass
+            elif line:
+                print(line, file=sys.stderr, flush=True)
+    import subprocess as _sp
+
+    try:
+        child.wait(timeout=3)  # EOF usually means a clean exit; let it land
+        note = None
+    except _sp.TimeoutExpired:
+        child.kill()
+        note = f"child killed at {budget}s budget"
+    if best is None:
+        best = {
+            "metric": f"spp/sec @ {STAGES[-1][0]}^2 {os.path.basename(VOLUME)}",
+            "value": 0.0,
+            "unit": "spp/s",
+            "vs_baseline": 0.0,
+            "error": "no stage completed (backend wedged or child died)",
+        }
+    if note:
+        best["note"] = note
+    print(json.dumps(best), flush=True)
+    return 0 if best.get("value", 0) > 0 else 1
 
 
 def _record(res, spp, dt, compile_s):
@@ -105,7 +177,7 @@ def _record(res, spp, dt, compile_s):
 
 def main():
     budget = int(os.environ.get("BENCH_TIMEOUT", "1400"))
-    _watchdog(budget)
+    _watchdog(budget + 30)  # parent enforces `budget`; this is the backstop
     t_start = time.time()
     deadline = t_start + 0.92 * budget
     import jax
@@ -116,6 +188,8 @@ def main():
         jax.config.update(
             "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
         )
+    if os.environ.get("BENCH_PLATFORM"):  # e.g. cpu, for testing the harness
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
     from volren_tpu.renderer import Renderer
     from volren_tpu.scene.environment import Environment
@@ -177,4 +251,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--child" in sys.argv:
+        main()
+    else:
+        sys.exit(_parent())
