@@ -1,0 +1,147 @@
+"""Work-queue wavefront engine (ops/worklist.py).
+
+Contracts: csize=spp produces the same per-lane sample streams and
+per-pixel sum order as the fixed-lane engines (exact in eager semantics;
+through jit, programs of different shape differ by ~1 ULP of fp
+contraction — the stock engine shows the same wiggle across unroll
+factors, see tests/test_compact.py); csize<spp equals the sum of
+per-chunk renders in fixed chunk order; lane-array size never changes
+results."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from volren_tpu.ops.megakernel import render_wavefront_chunked
+from volren_tpu.ops.worklist import default_lanes, render_wavefront_queue
+from volren_tpu.renderer import Renderer
+from volren_tpu.scene.environment import Environment
+from volren_tpu.voldata import DenseGrid, Volume
+
+
+@pytest.fixture(scope="module")
+def small_scene():
+    rng = np.random.default_rng(5)
+    dense = rng.random((16, 16, 16)).astype(np.float32) * 2.0
+    dense[:6] = 0.0
+    r = Renderer()
+    r.volume = Volume(DenseGrid(16, 16, 16, dense))
+    r.scale_and_move_to_unit_cube()
+    r.set_environment(Environment.white(0.6))
+    r.bounces = 8
+    r.init(16, 16)
+    r.commit()
+    return r._scene_device(), r._trace_params(), r._config()
+
+
+def test_default_lanes():
+    assert default_lanes(1 << 20) == (1 << 20) // 8
+    assert default_lanes(100) == 128  # clamped to the item count, padded
+    assert default_lanes(4096) == 2048  # floor keeps tiny frames one wave
+
+
+def test_queue_bit_identical_eager(small_scene):
+    """EXACT semantic identity, free of jit fp-contraction: un-jitted
+    queue steps vs un-jitted fixed-lane steps must agree bit-for-bit."""
+    from volren_tpu.ops import megakernel as M
+    from volren_tpu.ops import worklist as W
+
+    scene, params, cfg = small_scene
+    w = h = 12
+    spp = 2
+
+    s = M.init_state(w, h)
+    sppj = jnp.asarray(spp, jnp.int32)
+    zero = jnp.asarray(0, jnp.int32)
+    for i in range(4000):
+        s = M.step_body(s, scene, params, cfg, w, sppj, zero, h, 4, test_every=2)
+        if i % 8 == 7 and not bool((s["mode"] != M.MODE_INACTIVE).any()):
+            break
+    a = np.asarray(s["accum"]).reshape(h, w, 4)
+
+    lanes = 128
+    q = W.init_queue_state(lanes)
+    fb = jnp.zeros((w * h, 4), jnp.float32)
+    cursor = jnp.zeros((8,), jnp.int32)
+    for i in range(4000):
+        q, fb, cursor = W.step_body_queue(
+            q, fb, cursor, scene, params, cfg, w, h, 1, spp, spp, zero, 4,
+            test_every=2,
+        )
+        if i % 8 == 7 and not bool((q["mode"] != M.MODE_INACTIVE).any()):
+            break
+    b = np.asarray(fb).reshape(h, w, 4)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_queue_matches_chunked(small_scene):
+    scene, params, cfg = small_scene
+    a = np.asarray(render_wavefront_chunked(scene, params, cfg, 16, 16, 4, 0, unroll=4))
+    b = np.asarray(
+        render_wavefront_queue(scene, params, cfg, 16, 16, 4, 0, unroll=4, lanes=128)
+    )
+    np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-6)
+
+
+def test_queue_lane_count_invariance(small_scene):
+    """The queue must produce the same image no matter how many lanes run
+    it (items are self-contained; only scheduling changes)."""
+    scene, params, cfg = small_scene
+    a = np.asarray(
+        render_wavefront_queue(scene, params, cfg, 16, 16, 4, 0, unroll=4, lanes=128)
+    )
+    b = np.asarray(
+        render_wavefront_queue(scene, params, cfg, 16, 16, 4, 0, unroll=2, lanes=384)
+    )
+    np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_queue_chunked_items_match_chunk_order_sum(small_scene):
+    """csize < spp: per-chunk sums are exact; the per-pixel reduction runs
+    in fixed chunk order, i.e. equals rendering each chunk separately and
+    summing in chunk order."""
+    scene, params, cfg = small_scene
+    q = np.asarray(
+        render_wavefront_queue(
+            scene, params, cfg, 16, 16, 4, 0, unroll=4, lanes=128, csize=2
+        )
+    )
+    parts = [
+        np.asarray(render_wavefront_chunked(scene, params, cfg, 16, 16, 2, k * 2, unroll=4))
+        for k in range(2)
+    ]
+    np.testing.assert_allclose(q, parts[0] + parts[1], rtol=3e-6, atol=1e-6)
+
+
+def test_queue_spp_base_offsets(small_scene):
+    """Progressive accumulation: trace(2)+trace(2) through the queue engine
+    equals one render(4) (same (pixel, sample) seeds)."""
+    scene, params, cfg = small_scene
+    a = np.asarray(render_wavefront_queue(scene, params, cfg, 16, 16, 4, 0, lanes=128))
+    b0 = np.asarray(render_wavefront_queue(scene, params, cfg, 16, 16, 2, 0, lanes=128))
+    b1 = np.asarray(render_wavefront_queue(scene, params, cfg, 16, 16, 2, 2, lanes=128))
+    np.testing.assert_allclose(a, b0 + b1, rtol=3e-6, atol=1e-6)
+
+
+def test_renderer_queue_engine(small_scene):
+    rng = np.random.default_rng(5)
+    dense = rng.random((16, 16, 16)).astype(np.float32) * 2.0
+    dense[:6] = 0.0
+    r = Renderer()
+    r.volume = Volume(DenseGrid(16, 16, 16, dense))
+    r.scale_and_move_to_unit_cube()
+    r.set_environment(Environment.white(0.6))
+    r.bounces = 8
+    r.init(16, 16)
+    r.commit()
+    r.engine = "wavefront"
+    r.step_engine = "queue"
+    r.queue_lanes = 128
+    r.render(4)
+    fb_queue = r.fbo_data()
+    r.step_engine = "device"
+    r.render(4)
+    fb_dev = r.fbo_data()
+    np.testing.assert_allclose(fb_queue, fb_dev, rtol=3e-6, atol=1e-6)
+    assert np.isfinite(fb_queue).all() and fb_queue.mean() > 0.01

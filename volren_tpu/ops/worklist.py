@@ -1,0 +1,218 @@
+"""Work-queue wavefront engine: lanes dequeue (pixel, sample-chunk) items.
+
+The fixed lane=pixel mapping of ops/megakernel.py leaves almost every lane
+idle for most of a render: measured on the smoke scene (128^2, 4 spp, 100
+bounces) the mean active-lane fraction across the drain is 2.5% — sky
+pixels finish in a handful of wavefront steps while dense-interior
+stragglers march for hundreds, and the whole N-lane array keeps stepping
+until the last lane drains. The reference gets load balancing for free
+from SIMT hardware (retired warps yield their SM slots to fresh ones,
+shader/pathtracer_brick.glsl:3, src/renderer.cpp:137-140); an XLA program
+with static shapes has to build it.
+
+This engine runs a small persistent lane array (L ~ n_pixels/8) over a
+work queue of items = (pixel, sample-chunk). When a lane finishes its item
+it flushes its per-item accumulator into an (n_items, 4) buffer with a
+unique-index scatter and claims the next item (exclusive cumsum over
+finishing lanes + a carried cursor — the XLA analogue of the global
+work-stealing counter in persistent-threads GPU renderers). Per-(pixel,
+sample) TEA seeding (megakernel.phase_regen_body, pathtracer_brick.glsl:28)
+makes the result independent of WHICH lane runs an item and WHEN:
+
+ - csize == spp (one chunk per pixel, the default): a pixel's samples run
+   sequentially on one lane in sample order — the image is IDENTICAL to
+   the fixed-lane engines (same per-lane streams, same per-pixel sum
+   order; exact in eager semantics, and bitwise up to the ~1-ULP fp
+   -contraction wiggle jit already shows between program shapes of the
+   stock engine — see tests/test_compact.py).
+ - csize < spp: chunks of one pixel run on different lanes; per-chunk sums
+   are exact and the final per-pixel reduction runs in fixed chunk order —
+   deterministic for a given (spp, csize), ULP-different from the fixed
+   -lane engines' single-sequence sums. Stragglers shrink from
+   spp x steps(pixel) to csize x steps(pixel), which bounds the drain
+   tail for large spp.
+
+Items interleave sample-minor (item = pixel * n_chunks + chunk) so one
+straggler pixel's chunks dequeue at nearly the same time.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .megakernel import (
+    DEFAULT_TEST_EVERY,
+    MODE_INACTIVE,
+    MODE_REGEN,
+    _default_k_march,
+    _default_unroll,
+    step_body,
+)
+
+
+def init_queue_state(lanes: int):
+    """Fresh lane state for an L-lane work-queue array. px/py are assigned
+    at dequeue; spp_lane starts 0 so every lane claims an item on the first
+    dequeue. Build eagerly and pass as an argument (in-jit iota literals
+    degrade this runtime, see megakernel.init_state)."""
+    from .megakernel import init_state
+
+    s = init_state(lanes, 1)
+    s["item"] = jnp.full((lanes,), -1, jnp.int32)
+    s["spp_lane"] = jnp.zeros((lanes,), jnp.int32)
+    s["sppb_lane"] = jnp.zeros((lanes,), jnp.int32)
+    return s
+
+
+def dequeue_body(s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0):
+    """Flush finished items and claim new ones.
+
+    fb: (n_items, 4) per-item accumulation buffer. cursor: (8,) i32 queue
+    head (vector-widened: scalar program outputs hit this runtime's slow
+    path, see megakernel._phase_finish_act_sub). Returns (s, fb, cursor).
+    """
+    i32 = jnp.int32
+    n_items = fb.shape[0]
+    s = dict(s)
+    need = (s["mode"] == MODE_REGEN) & (s["spp_done"] >= s["spp_lane"])
+
+    # flush: each item belongs to exactly one lane ever, so indices are
+    # unique among flushing lanes; parked lanes aim at the OOB sentinel
+    flush = need & (s["item"] >= 0)
+    fb = fb.at[jnp.where(flush, s["item"], n_items)].add(s["accum"], mode="drop")
+
+    rank = jnp.cumsum(need.astype(i32)) - need.astype(i32)  # exclusive
+    new_item = cursor[0] + rank
+    have = need & (new_item < n_items)
+    item = jnp.where(have, new_item, jnp.where(need, -1, s["item"]))
+    pix = item // n_chunks  # sample-minor interleave
+    chunk = item % n_chunks
+    s["item"] = item
+    s["px"] = jnp.where(have, pix % width, s["px"])
+    s["py"] = jnp.where(have, pix // width + row0, s["py"])
+    s["spp_lane"] = jnp.where(
+        have, jnp.minimum(csize, spp - chunk * csize), s["spp_lane"]
+    )
+    s["sppb_lane"] = jnp.where(have, spp_base + chunk * csize, s["sppb_lane"])
+    s["spp_done"] = jnp.where(have, 0, s["spp_done"])
+    s["accum"] = jnp.where(have[..., None], 0.0, s["accum"])
+    s["mode"] = jnp.where(need & ~have, MODE_INACTIVE, s["mode"])
+    cursor = cursor + (need & have).sum(dtype=i32)
+    return s, fb, cursor
+
+
+def step_body_queue(s, fb, cursor, scene, params, cfg, width, full_height,
+                    n_chunks, csize, spp, spp_base, k_march,
+                    do_escape=True, test_every=None, do_nee=True, row0=0):
+    """One work-queue wavefront step: dequeue, then the standard
+    regen -> march -> nee -> finish step with per-lane spp windows."""
+    s, fb, cursor = dequeue_body(
+        s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0
+    )
+    s = step_body(
+        s, scene, params, cfg, width, s["spp_lane"], s["sppb_lane"],
+        full_height, k_march, do_escape=do_escape, test_every=test_every,
+        do_nee=do_nee,
+    )
+    return s, fb, cursor
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "width", "full_height", "n_chunks", "csize", "spp",
+        "k_march", "unroll", "test_every", "row0",
+    ),
+)
+def _megastep_queue_jit(state, fb, cursor, scene, params, cfg, width,
+                        full_height, n_chunks, csize, spp, spp_base,
+                        k_march, unroll, test_every=DEFAULT_TEST_EVERY,
+                        row0=0):
+    for i in range(unroll):
+        alt = (i % 2 == 1) or unroll == 1  # see megakernel._megastep_jit
+        state, fb, cursor = step_body_queue(
+            state, fb, cursor, scene, params, cfg, width, full_height,
+            n_chunks, csize, spp, spp_base, k_march,
+            do_escape=alt, test_every=test_every, do_nee=alt, row0=row0,
+        )
+    n_active = jnp.broadcast_to(
+        (state["mode"] != MODE_INACTIVE).sum(dtype=jnp.int32), (8,)
+    )
+    return state, fb, cursor, n_active
+
+
+def default_lanes(n_items: int) -> int:
+    """L ~ n_items/8 keeps lanes ~fully busy (the measured idle integral of
+    the fixed-lane engine is ~40x) while the queue still drains in ~8 lane
+    -generations; floor keeps tiny frames on one wave."""
+    lanes = max(2048, -(-n_items // 8 // 256) * 256)
+    return min(-(-n_items // 128) * 128, lanes)
+
+
+def render_wavefront_queue(
+    scene,
+    params,
+    cfg,
+    width,
+    height,
+    spp,
+    spp_base,
+    row0=0,
+    full_height=None,
+    lanes=None,
+    csize=None,
+    k_march=None,
+    unroll=None,
+    check_every=2,
+    test_every=DEFAULT_TEST_EVERY,
+):
+    """Work-queue render (module doc). Returns the (height, width, 4) SUM
+    of spp per-sample (L, alpha) values.
+
+    spp and csize are compile-time constants here (the accumulation buffer
+    is (n_pixels * spp/csize, 4)); progressive callers pass the same chunk
+    size per trace() call so programs cache."""
+    import numpy as _np
+
+    full_height = height if full_height is None else full_height
+    if k_march is None:
+        k_march = _default_k_march()
+    if unroll is None:
+        unroll = _default_unroll()
+    spp = int(spp)
+    csize = spp if csize is None else min(int(csize), spp)
+    n_chunks = -(-spp // csize)
+    n_pix = width * height
+    n_items = n_pix * n_chunks
+    if lanes is None:
+        lanes = default_lanes(n_items)
+    state = init_queue_state(lanes)
+    fb = jnp.zeros((n_items, 4), jnp.float32)
+    cursor = jnp.zeros((8,), jnp.int32)
+    spp_base = jnp.asarray(spp_base, jnp.int32)
+
+    # safety bound: ~items-per-lane generations of the per-chunk step bound
+    max_steps = (4096 + 512 * csize) * (n_items // lanes + 2)
+    steps = 0
+    while True:
+        for _ in range(check_every):
+            state, fb, cursor, n_active = _megastep_queue_jit(
+                state, fb, cursor, scene, params, cfg, width, full_height,
+                n_chunks, csize, spp, spp_base, k_march, unroll,
+                test_every, row0,
+            )
+        steps += check_every * unroll
+        stuck = int(_np.asarray(n_active)[0])
+        if stuck == 0:
+            break
+        if steps > max_steps:
+            raise RuntimeError(
+                f"queue render did not converge after {steps} steps "
+                f"({stuck} lanes active, cursor {int(_np.asarray(cursor)[0])}"
+                f"/{n_items})"
+            )
+    img = fb.reshape(n_pix, n_chunks, 4).sum(axis=1)  # fixed chunk order
+    return img.reshape(height, width, 4)

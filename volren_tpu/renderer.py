@@ -71,12 +71,21 @@ class Renderer:
         # "chunked": host loop over unrolled straight-line megastep programs
         # (the TPU fast path — gathers vectorize only OUTSIDE device loops,
         # see ops.gather; measured 1.9 spp/s @256^2 vs 0.86 for "host");
-        # "device": whole loop in one jitted while_loop (good on CPU,
-        # scalarizes gathers on TPU); "host": per-phase dispatch
-        # (interruptible; each phase pays the runtime's per-dispatch tax)
+        # "queue": work-queue engine — a small persistent lane array
+        # dequeues (pixel, sample-chunk) items, fixing the ~40x idle-lane
+        # integral of the fixed mapping (ops/worklist.py); "device": whole
+        # loop in one jitted while_loop (good on CPU, scalarizes gathers on
+        # TPU); "host": per-phase dispatch (interruptible; each phase pays
+        # the runtime's per-dispatch tax)
         self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
             "chunked" if jax.default_backend() == "tpu" else "device"
         )
+        # queue-engine knobs (None = auto): lane-array size and samples per
+        # work item. csize=None renders each pixel's spp on one lane
+        # (bit-identical to the other engines); smaller csize bounds the
+        # straggler tail at large spp (deterministic chunk-order sums)
+        self.queue_lanes = None
+        self.queue_csize = None
         # None = auto (MXU one-hot majorant gathers on TPU, exact f32
         # scalar gathers elsewhere); True/False forces the path
         self.use_onehot = None
@@ -236,6 +245,20 @@ class Renderer:
                     self._height,
                     int(spp),
                     self.sample,
+                )
+            elif self.step_engine == "queue":
+                from .ops.worklist import render_wavefront_queue
+
+                accum = render_wavefront_queue(
+                    self._scene_device(),
+                    self._trace_params(),
+                    self._config(),
+                    self._width,
+                    self._height,
+                    int(spp),
+                    self.sample,
+                    lanes=self.queue_lanes,
+                    csize=self.queue_csize,
                 )
             elif self.step_engine == "device":
                 from .ops.megakernel import render_wavefront
