@@ -77,3 +77,26 @@ def test_sharded_host_matches_single(tiny_scene):
         render_sharded_host(scene, params, cfg, 16, 16, 4, 0, mesh)
     )
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.slow
+def test_sharded_queue_matches_single(tiny_scene):
+    """Work-queue SPMD engine: per-device item queues over (tile x spp)
+    shards, ICI psum only for the activity check. Stream-identical per
+    (pixel, sample) to the single-device engines; sums reduce in fixed
+    (spp shard, chunk) order."""
+    from volren_tpu.ops.megakernel import render_wavefront_chunked
+    from volren_tpu.parallel.sharding import render_sharded_queue
+
+    r = tiny_scene
+    scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
+    single = np.asarray(
+        render_wavefront_chunked(scene, params, cfg, 16, 16, 4, 0, unroll=2)
+    )
+    mesh = make_mesh(n_tiles=4, n_spp=2)
+    sharded = np.asarray(
+        render_sharded_queue(
+            scene, params, cfg, 16, 16, 4, 0, mesh, lanes=128, unroll=2
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=3e-6, atol=1e-6)

@@ -133,6 +133,108 @@ def render_sharded(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh,
     return np.asarray(acc)[:n_pix].reshape(height, width, 4)
 
 
+def render_sharded_queue(scene, params, cfg, width, height, spp, spp_base,
+                         mesh: Mesh, lanes=None, csize=None, k_march=None,
+                         unroll=None, check_every=2, test_every=None):
+    """Work-queue render across ``mesh`` (ops/worklist.py semantics,
+    SPMD): each device runs an INDEPENDENT queue over its (row band x spp
+    batch) items — the dequeue cumsum and cursor are shard-local, so
+    tracing needs no cross-device traffic at all; only the activity check
+    rides an ICI psum. Returns the (H, W, 4) sample SUM.
+
+    Per-pixel sums reduce in fixed (spp shard, chunk) order —
+    deterministic for a given (mesh, spp, csize), and stream-identical to
+    the single-device engines per (pixel, sample)."""
+    from ..ops import megakernel as M
+    from ..ops import worklist as W
+
+    n_tiles = mesh.shape["tiles"]
+    n_spp = mesh.shape["spp"]
+    n_dev = n_tiles * n_spp
+    assert height % n_tiles == 0, f"height {height} not divisible by {n_tiles} tiles"
+    assert spp % n_spp == 0, f"spp {spp} not divisible by {n_spp} spp shards"
+    rows = height // n_tiles
+    local_spp = spp // n_spp
+    csize = local_spp if csize is None else min(int(csize), local_spp)
+    n_chunks = -(-local_spp // csize)
+    n_pix_local = width * rows
+    n_items_local = n_pix_local * n_chunks
+    lanes_local = lanes or W.default_lanes(n_items_local)
+    if k_march is None:
+        k_march = M._default_k_march()
+    if unroll is None:
+        unroll = M._default_unroll()
+    if test_every is None:
+        test_every = M.DEFAULT_TEST_EVERY
+
+    lane_spec = P(("spp", "tiles"))
+    shard1 = NamedSharding(mesh, lane_spec)
+    shard2 = NamedSharding(mesh, P(("spp", "tiles"), None))
+    repl = NamedSharding(mesh, P())
+
+    # eager global init; every lane slice is a valid local init (px/py are
+    # assigned at dequeue)
+    state = W.init_queue_state(lanes_local * n_dev)
+    state = {k: jax.device_put(v, shard2 if v.ndim == 2 else shard1)
+             for k, v in state.items()}
+    fb = jax.device_put(jnp.zeros((n_items_local * n_dev, 4), jnp.float32), shard2)
+    cursor = jax.device_put(jnp.zeros((8 * n_dev,), jnp.int32), shard1)
+    scene = jax.device_put(scene, repl)
+    params = jax.device_put(params, repl)
+    spp_base = jnp.asarray(spp_base, jnp.int32)
+
+    def megastep(state, fb, cursor, scene, params, spp_base):
+        row0 = lax.axis_index("tiles") * rows
+        sppb = lax.axis_index("spp").astype(jnp.int32) * local_spp + spp_base
+        for i in range(unroll):
+            alt = (i % 2 == 1) or unroll == 1
+            state, fb, cursor = W.step_body_queue(
+                state, fb, cursor, scene, params, cfg, width, height,
+                n_chunks, csize, local_spp, sppb, k_march,
+                do_escape=alt, test_every=test_every, do_nee=alt, row0=row0,
+            )
+        n_active = jnp.broadcast_to(
+            lax.psum(
+                (state["mode"] != M.MODE_INACTIVE).sum(dtype=jnp.int32),
+                ("spp", "tiles"),
+            ),
+            (8,),
+        )
+        return state, fb, cursor, n_active
+
+    step_fn = jax.jit(
+        jax.shard_map(
+            megastep,
+            mesh=mesh,
+            in_specs=(lane_spec, lane_spec, lane_spec, P(), P(), P()),
+            out_specs=(lane_spec, lane_spec, lane_spec, P()),
+            check_vma=False,
+        )
+    )
+
+    max_steps = (4096 + 512 * csize) * (n_items_local // lanes_local + 2)
+    steps = 0
+    while True:
+        for _ in range(check_every):
+            state, fb, cursor, n_active = step_fn(
+                state, fb, cursor, scene, params, spp_base
+            )
+        steps += check_every * unroll
+        if int(np.asarray(n_active)[0]) == 0:
+            break
+        if steps > max_steps:
+            raise RuntimeError(
+                f"sharded queue render did not converge after {steps} steps"
+            )
+    # global fb layout: ((spp, tiles), item) with item = pix * n_chunks + c
+    img = (
+        np.asarray(fb)
+        .reshape(n_spp, n_tiles, n_pix_local, n_chunks, 4)
+        .sum(axis=(0, 3))  # fixed (spp shard, chunk) reduction order
+    )
+    return img.reshape(height, width, 4)
+
+
 def render_sharded_host(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh, **kw):
     """Host-stepped multi-device render: the wavefront state is sharded row-wise
     over the mesh's 'tiles' axis and every phase program runs SPMD (scene

@@ -222,18 +222,34 @@ class Renderer:
                     "for the global-majorant estimators"
                 )
             if self.mesh is not None:
-                from .parallel.sharding import render_sharded
+                if self.step_engine == "queue":
+                    from .parallel.sharding import render_sharded_queue
 
-                accum = render_sharded(
-                    self._scene_device(),
-                    self._trace_params(),
-                    self._config(),
-                    self._width,
-                    self._height,
-                    int(spp),
-                    self.sample,
-                    self.mesh,
-                )
+                    accum = render_sharded_queue(
+                        self._scene_device(),
+                        self._trace_params(),
+                        self._config(),
+                        self._width,
+                        self._height,
+                        int(spp),
+                        self.sample,
+                        self.mesh,
+                        lanes=self.queue_lanes,
+                        csize=self.queue_csize,
+                    )
+                else:
+                    from .parallel.sharding import render_sharded
+
+                    accum = render_sharded(
+                        self._scene_device(),
+                        self._trace_params(),
+                        self._config(),
+                        self._width,
+                        self._height,
+                        int(spp),
+                        self.sample,
+                        self.mesh,
+                    )
             elif self.step_engine == "host":
                 # host-stepped phase dispatch: slower (per-dispatch tunnel
                 # overhead) but interruptible between steps
