@@ -145,3 +145,32 @@ def test_renderer_queue_engine(small_scene):
     fb_dev = r.fbo_data()
     np.testing.assert_allclose(fb_queue, fb_dev, rtol=3e-6, atol=1e-6)
     assert np.isfinite(fb_queue).all() and fb_queue.mean() > 0.01
+
+
+@pytest.mark.slow
+def test_queue_tf_and_emission_paths(small_scene):
+    """TF classification and emission flow through the queue engine's
+    per-lane spp windows identically to the fixed-lane engines."""
+    from volren_tpu.scene.transferfunc import TransferFunction
+
+    rng = np.random.default_rng(9)
+    dense = rng.random((16, 16, 16)).astype(np.float32) * 2.0
+    emission = np.zeros((16, 16, 16), np.float32)
+    emission[4:12, 4:12, 4:12] = 500.0
+    r = Renderer()
+    r.volume = Volume(DenseGrid(16, 16, 16, dense))
+    r.volume.update_grid_frame(0, DenseGrid(16, 16, 16, emission), "flame")
+    r.scale_and_move_to_unit_cube()
+    r.set_environment(Environment.white(0.5))
+    r.set_transferfunc(TransferFunction("/root/reference/data/lut.txt"))
+    r.bounces = 8
+    r.init(16, 16)
+    r.commit()
+    scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
+    assert cfg.use_tf and cfg.has_emission
+    a = np.asarray(render_wavefront_chunked(scene, params, cfg, 16, 16, 4, 0, unroll=2))
+    b = np.asarray(
+        render_wavefront_queue(scene, params, cfg, 16, 16, 4, 0, unroll=2, lanes=128)
+    )
+    np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-6)
+    assert np.isfinite(b).all() and b[..., :3].mean() > 0.0
