@@ -44,12 +44,27 @@ VOLUME = os.environ.get("BENCH_VOLUME", "/root/reference/data/smoke.brick")
 ENVMAP = os.environ.get(
     "BENCH_ENV", "/root/reference/data/table_mountain_2_puresky_1k.hdr"
 )
-# resolution ladder: "res:spp" stages, smallest first; the last completed
-# stage wins. Override with e.g. BENCH_STAGES="256:16,1024:32".
+# resolution ladder: "res:spp[:engine]" stages, smallest first; the last
+# completed stage wins. engine is a step_engine name, or "auto" = the
+# fastest engine measured so far at any resolution (the default ladder
+# duels chunked vs queue at 256^2, then rides the winner up).
+# Override with e.g. BENCH_STAGES="256:16,1024:32".
+
+
+def _parse_stage(s):
+    parts = s.split(":")
+    res, spp = int(parts[0]), int(parts[1])
+    engine = parts[2] if len(parts) > 2 else "auto"
+    return res, spp, engine
+
+
 STAGES = [
-    tuple(map(int, s.split(":")))
-    for s in os.environ.get("BENCH_STAGES", "256:16,512:16,1024:16").split(",")
+    _parse_stage(s)
+    for s in os.environ.get(
+        "BENCH_STAGES", "256:16:chunked,256:16:queue,512:16:auto,1024:16:auto"
+    ).split(",")
 ]
+QUEUE_CSIZE = int(os.environ.get("BENCH_QUEUE_CSIZE", "4"))
 
 # honest measurement: a NOVEL rng seed per bench invocation. The runtime
 # caches (program, inputs) -> outputs server-side, so re-running the
@@ -155,15 +170,26 @@ def _parent():
     return 0 if best.get("value", 0) > 0 else 1
 
 
-def _record(res, spp, dt, compile_s):
+_ENGINE_RATE = {}  # engine -> best paths/sec (res-normalized), for "auto"
+
+
+def _record(res, spp, dt, compile_s, engine):
     global _BEST
     spp_per_sec = spp / dt
     anchor = TARGET_SPP_S_1024 * (1024.0 / res) ** 2
     variant = "TF" if USE_TF else "no-TF"
+    norm = spp_per_sec * res * res  # paths/sec, comparable across stages
+    _ENGINE_RATE[engine] = max(_ENGINE_RATE.get(engine, 0.0), norm)
+    # keep the best stage: highest resolution wins; within a resolution
+    # (the engine duel) the faster engine wins; a stage's own progressive
+    # updates always replace its previous record
+    if _BEST is not None and _BEST["engine"] != engine:
+        if _BEST["res"] > res or (_BEST["res"] == res and _BEST["value"] >= spp_per_sec):
+            return
     _BEST = {
         "metric": (
             f"spp/sec @ {res}x{res} {os.path.basename(VOLUME)} "
-            f"({variant}, wavefront DDA, {BOUNCES} bounces)"
+            f"({variant}, wavefront DDA/{engine}, {BOUNCES} bounces)"
         ),
         "value": round(spp_per_sec, 3),
         "unit": "spp/s",
@@ -172,6 +198,8 @@ def _record(res, spp, dt, compile_s):
         "measured_spp": spp,
         "wall_s": round(dt, 2),
         "seed": BENCH_SEED,
+        "res": res,
+        "engine": engine,
     }
 
 
@@ -203,7 +231,7 @@ def main():
 
         tf = TransferFunction("/root/reference/data/lut.txt")
 
-    def build(res):
+    def build(res, engine):
         r = Renderer()
         r.volume = volume
         r.scale_and_move_to_unit_cube()
@@ -213,36 +241,43 @@ def main():
             r.show_environment = False
         r.bounces = BOUNCES
         r.seed = BENCH_SEED
+        r.step_engine = engine
+        if engine == "queue":
+            r.queue_csize = QUEUE_CSIZE
         r.init(res, res)
         r.commit()
         return r
 
-    for res, spp in STAGES:
+    for res, spp, engine in STAGES:
         if time.time() > deadline - 90:
             break  # not enough budget left for another compile + chunk
-        r = build(res)
+        if engine == "auto":
+            engine = max(_ENGINE_RATE, key=_ENGINE_RATE.get, default="chunked")
+        r = build(res, engine)
+        # warmup/compile with the SAME chunk size the measurement uses —
+        # the queue engine compiles per static spp value
+        chunk = max(1, min(8, spp))
         t0 = time.time()
-        r.render(2)  # warmup / compile
+        r.render(chunk)
         jax.block_until_ready(r.framebuffer())
         compile_s = time.time() - t0
 
         # measure in chunks so a partial stage still records a number
         done = 0
         t0 = time.time()
-        chunk = max(1, min(8, spp))
         while done < spp:
             n = min(chunk, spp - done)
             r.render(n)
             jax.block_until_ready(r.framebuffer())
             done += n
-            _record(res, done, time.time() - t0, compile_s)
+            _record(res, done, time.time() - t0, compile_s, engine)
             if time.time() > deadline:
                 _emit({"note": "stage truncated by time budget"})
                 return
         dt = time.time() - t0
         print(
-            f"# stage {res}^2: {done} spp in {dt:.2f}s = {done/dt:.2f} spp/s "
-            f"(compile+warmup {compile_s:.1f}s)",
+            f"# stage {res}^2 [{engine}]: {done} spp in {dt:.2f}s = {done/dt:.2f} "
+            f"spp/s (compile+warmup {compile_s:.1f}s)",
             file=sys.stderr,
             flush=True,
         )
