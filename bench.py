@@ -64,7 +64,7 @@ STAGES = [
         "BENCH_STAGES", "256:16:chunked,256:16:queue,512:16:auto,1024:16:auto"
     ).split(",")
 ]
-QUEUE_CSIZE = int(os.environ.get("BENCH_QUEUE_CSIZE", "4"))
+QUEUE_CSIZE = int(os.environ.get("BENCH_QUEUE_CSIZE", "2"))
 
 # honest measurement: a NOVEL rng seed per bench invocation. The runtime
 # caches (program, inputs) -> outputs server-side, so re-running the
