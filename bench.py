@@ -262,12 +262,16 @@ def main():
         jax.block_until_ready(r.framebuffer())
         compile_s = time.time() - t0
 
-        # measure in chunks so a partial stage still records a number
+        # measure in chunks so a partial stage still records a number.
+        # PROGRESSIVE trace (spp_base advances) — a repeated render(n)
+        # would replay identical (program, inputs) and the runtime's
+        # server-side result cache would fake the rate
+        r.reset()
         done = 0
         t0 = time.time()
         while done < spp:
             n = min(chunk, spp - done)
-            r.render(n)
+            r.trace(n)
             jax.block_until_ready(r.framebuffer())
             done += n
             _record(res, done, time.time() - t0, compile_s, engine)

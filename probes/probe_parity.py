@@ -1,0 +1,78 @@
+"""Parity render on TPU: the reference README example command
+(/root/reference/README.md:72-77) at PROBE_RES^2 / PROBE_SPP, compared to
+the published imgs/example.jpg with scripts/compare_rmse.py --resize-b.
+
+Current best is 1.82% rel RMSE at 256^2/128 spp (PARITY.md), limited by
+sampling noise; this probe pushes spp 4x+ to chase the <1% BASELINE
+target. Run ALONE (one TPU process). Writes the render under docs/parity/
+and prints a JSON line with the numbers.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import numpy as np
+import jax
+
+if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+RES = int(os.environ.get("PROBE_RES", "256"))
+SPP = int(os.environ.get("PROBE_SPP", "512"))
+
+from volren_tpu.renderer import Renderer
+from volren_tpu.scene.environment import Environment, rotation_y
+from volren_tpu.voldata import Volume
+from volren_tpu.utils.image import save_ldr
+
+r = Renderer()
+r.volume = Volume("/root/reference/data/smoke.brick")
+r.scale_and_move_to_unit_cube()
+env = Environment("/root/reference/data/table_mountain_2_puresky_1k.hdr")
+env.strength = 3.0
+env.transform = rotation_y(270.0)
+r.set_environment(env)
+r.bounces = 128
+r.albedo = np.array([0.8, 0.8, 0.8], np.float32)
+r.phase = 0.3
+r.density_scale *= 100.0
+r.tonemap_exposure = 3.0
+r.tonemap_gamma = 2.0
+r.cam.fov_degree = 40.0
+r.init(RES, RES)
+r.commit()
+
+t0 = time.time()
+done = 0
+while done < SPP:
+    n = min(16, SPP - done)
+    r.trace(n)
+    jax.block_until_ready(r.framebuffer())
+    done += n
+    print(f"# {done}/{SPP} spp, {done/(time.time()-t0):.3f} spp/s",
+          file=sys.stderr, flush=True)
+dt = time.time() - t0
+
+out = os.path.join(REPO, "docs", "parity", f"example_{RES}_{SPP}spp.png")
+save_ldr(out, r.draw(), flip=True, alpha=False)
+
+cmp = subprocess.run(
+    [sys.executable, os.path.join(REPO, "scripts", "compare_rmse.py"),
+     out, "/root/reference/imgs/example.jpg", "--resize-b"],
+    capture_output=True, text=True,
+)
+rel = None
+for line in cmp.stdout.splitlines():
+    if line.startswith("relative RMSE:"):
+        rel = float(line.split()[-1].rstrip("%"))
+print(cmp.stdout, file=sys.stderr)
+print(json.dumps({"probe": "parity", "res": RES, "spp": SPP,
+                  "rel_rmse_pct": rel, "spp_s": round(SPP / dt, 3),
+                  "png": out}), flush=True)

@@ -25,19 +25,30 @@ def test_budget_rounding():
     assert budget(65536 + 128, 8) % 128 == 0
 
 
-def test_compact_apply_services_top_k_and_defers_overflow():
+def _double_fn(rows, m):
+    v = rows[..., 0]
+    sd = col_u32(rows, 1)
+    return pack_cols(v * 2.0, sd + jnp.uint32(1), m)
+
+
+def _check_serviced_outputs(out, vals, seeds, serviced):
+    np.testing.assert_array_equal(
+        np.asarray(out[..., 0])[serviced], np.asarray(vals)[serviced] * 2.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(col_u32(out, 1))[serviced], np.asarray(seeds)[serviced] + 1
+    )
+    assert (np.asarray(out)[~serviced] == 0).all()
+
+
+def test_compact_apply_topk_services_first_k_and_defers_overflow():
     n, k = 1024, 128
     rng = np.random.default_rng(3)
     mask = jnp.asarray(rng.random(n) < 0.3)  # ~307 wanting lanes > k
     vals = jnp.asarray(rng.random(n).astype(np.float32))
     seeds = jnp.arange(n, dtype=jnp.uint32)
 
-    def fn(rows, m):
-        v = rows[..., 0]
-        sd = col_u32(rows, 1)
-        return pack_cols(v * 2.0, sd + jnp.uint32(1), m)
-
-    out = jax.jit(lambda mk, iv: compact_apply(mk, iv, fn, k))(
+    out = jax.jit(lambda mk, iv: compact_apply(mk, iv, _double_fn, k, "topk"))(
         mask, pack_cols(vals, seeds)
     )
     serviced = np.asarray(out[..., 2] > 0)
@@ -48,14 +59,36 @@ def test_compact_apply_services_top_k_and_defers_overflow():
     assert (m_np[serviced]).all()
     first_k = np.where(m_np)[0][:k]
     assert set(np.where(serviced)[0]) == set(first_k)
-    np.testing.assert_array_equal(
-        np.asarray(out[..., 0])[serviced], np.asarray(vals)[serviced] * 2.0
+    _check_serviced_outputs(out, vals, seeds, serviced)
+
+
+@pytest.mark.parametrize("n,k,p", [(1024, 128, 0.3), (1000, 256, 0.05), (576, 128, 0.9)])
+def test_compact_apply_block_selector_contract(n, k, p):
+    """Sort-free selector: each strided block (lane i in block i % k)
+    services its FIRST masked lane; every serviced lane is masked; blocks
+    with any masked lane always service one (no starvation within a call);
+    outputs and zero-elsewhere match the topk path's contract."""
+    rng = np.random.default_rng(7)
+    mask = jnp.asarray(rng.random(n) < p)
+    vals = jnp.asarray(rng.random(n).astype(np.float32))
+    seeds = jnp.arange(n, dtype=jnp.uint32)
+
+    out = jax.jit(lambda mk, iv: compact_apply(mk, iv, _double_fn, k, "block"))(
+        mask, pack_cols(vals, seeds)
     )
-    np.testing.assert_array_equal(
-        np.asarray(col_u32(out, 1))[serviced], np.asarray(seeds)[serviced] + 1
-    )
-    # un-serviced rows are zero
-    assert (np.asarray(out)[~serviced] == 0).all()
+    serviced = np.asarray(out[..., 2] > 0)
+    m_np = np.asarray(mask)
+    assert (m_np[serviced]).all()
+    lanes = np.arange(n)
+    for j in range(k):
+        blk = lanes[lanes % k == j]
+        blk_masked = blk[m_np[blk]]
+        got = blk[serviced[blk]]
+        if len(blk_masked):
+            np.testing.assert_array_equal(got, blk_masked[:1])
+        else:
+            assert len(got) == 0
+    _check_serviced_outputs(out, vals, seeds, serviced)
 
 
 @pytest.fixture(scope="module")
@@ -98,18 +131,27 @@ def _eager_render(scene, params, cfg, w, h, spp, max_steps=6000):
 
 
 @pytest.mark.parametrize(
-    "divisors",
-    [(4, 4, 4), pytest.param((32, 32, 32), marks=pytest.mark.slow)],
+    "divisors,selector",
+    [
+        ((4, 4, 4), "block"),
+        ((4, 4, 4), "topk"),
+        pytest.param((32, 32, 32), "block", marks=pytest.mark.slow),
+        pytest.param((32, 32, 32), "topk", marks=pytest.mark.slow),
+    ],
 )
-def test_compacted_render_bit_identical_eager(emitting_renderer, divisors):
+def test_compacted_render_bit_identical_eager(emitting_renderer, divisors, selector):
     """Aggressive budgets (including guaranteed overflow: 16x16=256 lanes
     at divisor 32 -> budget 128 < the first-step escape burst) must not
-    change a single bit of the image. Eager path: exact semantics."""
+    change a single bit of the image, with EITHER lane selector. Eager
+    path: exact semantics."""
     r = emitting_renderer
     scene, params = r._scene_device(), r._trace_params()
     cfg0 = r._config()
     dr, dn, de = divisors
-    cfg1 = cfg0._replace(compact_resolve=dr, compact_nee=dn, compact_escape=de)
+    cfg1 = cfg0._replace(
+        compact_resolve=dr, compact_nee=dn, compact_escape=de,
+        compact_selector=selector,
+    )
     assert cfg0.has_emission
     a = _eager_render(scene, params, cfg0, 16, 16, 3)
     b = _eager_render(scene, params, cfg1, 16, 16, 3)

@@ -273,8 +273,9 @@ def test_http_viewer(random_grid16_module):
 
 @pytest.mark.slow
 def test_tiled_render_bit_identical(tiny_renderer):
-    """Row-block tiling must reproduce the untiled chunked render exactly:
-    per-lane sample streams depend only on the absolute pixel row."""
+    """2D tile-block rendering must reproduce the untiled chunked render
+    exactly: per-lane sample streams depend only on the absolute pixel
+    (col0 + x, row0 + y)."""
     from volren_tpu.ops.megakernel import (
         render_wavefront_chunked,
         render_wavefront_tiled,
@@ -285,7 +286,22 @@ def test_tiled_render_bit_identical(tiny_renderer):
     full = np.asarray(
         render_wavefront_chunked(scene, params, cfg, 24, 24, 4, 0)
     )
-    tiled = np.asarray(
+    tiled = np.asarray(  # 3x3 grid of 8x8 tiles
         render_wavefront_tiled(scene, params, cfg, 24, 24, 4, 0, tile_rows=8)
     )
     np.testing.assert_array_equal(full, tiled)
+
+
+def test_tile_program_shared_across_resolutions(tiny_renderer):
+    """Frame dimensions are DYNAMIC megastep inputs: rendering two
+    different frame resolutions through the same tile shape must not
+    compile a second program (first-call program cost on the tunneled
+    runtime is 88-580 s per shape — the whole point of the tile driver)."""
+    from volren_tpu.ops.megakernel import _megastep_jit, render_wavefront_tiled
+
+    r = tiny_renderer
+    scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
+    render_wavefront_tiled(scene, params, cfg, 16, 16, 2, 0, tile_rows=8)
+    before = _megastep_jit._cache_size()
+    render_wavefront_tiled(scene, params, cfg, 24, 24, 2, 0, tile_rows=8)
+    assert _megastep_jit._cache_size() == before

@@ -114,6 +114,22 @@ def test_queue_chunked_items_match_chunk_order_sum(small_scene):
     np.testing.assert_allclose(q, parts[0] + parts[1], rtol=3e-6, atol=1e-6)
 
 
+def test_queue_tiled_matches_untiled(small_scene):
+    """2D tile-block queue driver: per-item sample streams depend only on
+    the absolute pixel, so any tiling reassembles the same image (tiles
+    run through one program shape; frame dims/offsets are dynamic)."""
+    from volren_tpu.ops.worklist import render_wavefront_queue_tiled
+
+    scene, params, cfg = small_scene
+    a = np.asarray(render_wavefront_queue(scene, params, cfg, 16, 16, 4, 0, lanes=128))
+    b = np.asarray(
+        render_wavefront_queue_tiled(
+            scene, params, cfg, 16, 16, 4, 0, tile_rows=8, lanes=128
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-6)
+
+
 def test_queue_spp_base_offsets(small_scene):
     """Progressive accumulation: trace(2)+trace(2) through the queue engine
     equals one render(4) (same (pixel, sample) seeds)."""

@@ -58,8 +58,43 @@ def budget(n, divisor):
     return 0 if k >= n else k
 
 
-def compact_apply(mask, inputs, fn, k):
-    """Service the k highest-priority ``mask`` lanes with ``fn``.
+def _select_topk(mask, k):
+    """Exact top-k selection (all masked lanes serviced while count <= k).
+    lax.top_k over the full lane array lowers through a sort network —
+    measured as a per-stage cost candidate; kept for A/B against the
+    blocked selector."""
+    _, sel = lax.top_k(mask.astype(jnp.int32), k)
+    return sel, None
+
+
+def _select_block(mask, k):
+    """Sort-free selector: lane i belongs to block i % k; each block
+    services its first masked lane (a pure argmax reduction over the
+    (b, k) strided view — no sort, no n-length scatter).
+
+    The stride spreads spatially-clustered events (adjacent pixels park
+    together in dense regions; lanes are pixel-row-major) across distinct
+    blocks, so a cluster of size <= k drains in one call just like top_k.
+    A block with multiple masked lanes defers the rest — same deferral
+    semantics, identical final image. Returns (sel, picked): un-picked
+    slots carry an arbitrary UNMASKED in-bounds lane (gather duplicates are
+    harmless; the scatter side drops them via `picked`).
+    """
+    n = mask.shape[0]
+    b = -(-n // k)
+    pad = b * k - n
+    mask_p = jnp.concatenate([mask, jnp.zeros((pad,), bool)]) if pad else mask
+    mask_bk = mask_p.reshape(b, k)
+    picked = mask_bk.any(axis=0)
+    arg = jnp.argmax(mask_bk, axis=0)  # first masked lane of each block
+    # picked slots: sel = arg*k + j < n (padded tail is all-False, so a
+    # pick never lands there); un-picked slots clamp to n-1 (may duplicate)
+    sel = jnp.minimum(arg * k + jnp.arange(k, dtype=arg.dtype), n - 1)
+    return sel, picked
+
+
+def compact_apply(mask, inputs, fn, k, selector="block"):
+    """Service up to k ``mask`` lanes with ``fn``.
 
     mask:   (N,) bool — lanes that want service.
     inputs: (N, Win) f32 rows (pack_cols).
@@ -67,18 +102,31 @@ def compact_apply(mask, inputs, fn, k):
             inside fn is fine as long as the seed rides in the rows and is
             drawn masked — per-lane streams keep deferral bit-exact.
     k:      static service budget (rows per call).
+    selector: "block" (sort-free, default) or "topk" (exact priority).
 
     Returns (N, Wout) rows: fn's outputs on serviced lanes, ZERO elsewhere
     — callers detect service through a flag column fn sets from its mask
     argument (zero on un-serviced lanes by construction).
     """
     n = mask.shape[0]
-    # deterministic highest-priority-first selection; ties by lane index
-    _, sel = lax.top_k(mask.astype(jnp.int32), k)
+    sel, picked = (_select_block if selector == "block" else _select_topk)(mask, k)
     # the mask rides in the gathered row (row width is nearly free, an
     # extra k-index gather op is not)
     rows_in = vgather(jnp.concatenate([inputs, mask[:, None].astype(jnp.float32)], -1), sel)
     mask_c = rows_in[..., -1] > 0.0
+    if picked is not None:
+        mask_c = mask_c & picked
     rows_out = fn(rows_in[..., :-1], mask_c)
     base = jnp.zeros((n, rows_out.shape[-1]), jnp.float32)
-    return vscatter_rows(base, sel, rows_out)
+    if picked is None:
+        return vscatter_rows(base, sel, rows_out)
+    # duplicate un-picked slots must not land: route each to its own OOB
+    # sentinel (n + slot index — unique, so unique_indices stays honest)
+    # dropped by the scatter. Must be a scatter-SET, not add: rows carry
+    # bitcast u32 seeds whose float patterns are denormal, and 0.0 + x
+    # flushes them to zero under FTZ.
+    sel_s = jnp.where(mask_c, sel, n + jnp.arange(k, dtype=sel.dtype))
+    (sel_s, rows_out) = lax.optimization_barrier((sel_s, rows_out))
+    out = base.at[sel_s].set(rows_out, mode="drop", unique_indices=True)
+    (out,) = lax.optimization_barrier((out,))
+    return out

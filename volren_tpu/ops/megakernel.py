@@ -111,8 +111,11 @@ def _setup_ray(s, inv_transform, bb_min, bb_max, org, direction, mask):
     return s
 
 
-def init_state(width: int, height: int, row0: int = 0, reps: int = 1):
-    """Fresh lane state for a width x height tile.
+def init_state(width: int, height: int, row0: int = 0, reps: int = 1, col0: int = 0):
+    """Fresh lane state for a width x height tile at (col0, row0) of the
+    full frame (px/py are ABSOLUTE pixel coordinates — per-lane sample
+    streams depend only on them, which is what makes any tiling of a frame
+    produce the same samples).
 
     ``reps`` > 1 replicates the pixel grid (lane order: rep-major) for
     spp-sharded rendering — each replica traces a disjoint sample range.
@@ -127,7 +130,7 @@ def init_state(width: int, height: int, row0: int = 0, reps: int = 1):
     zeros = jnp.zeros((n,), f32)
     zeros3 = jnp.zeros((n, 3), f32)
     lane_local = jnp.arange(n, dtype=jnp.int32)
-    px = lane_local % width
+    px = lane_local % width + col0
     py = (lane_local // width) % height + row0
     return {
         "px": px,
@@ -163,11 +166,20 @@ def init_state(width: int, height: int, row0: int = 0, reps: int = 1):
 def phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height):
     """Start the next sample on REGEN lanes (pathtracer_brick.glsl:23-33):
     per-(pixel, sample) TEA seed, jittered camera ray, fresh path + march
-    state. Exhausted lanes go INACTIVE."""
+    state. Exhausted lanes go INACTIVE.
+
+    ``width``/``full_height`` are the FULL frame dimensions (the tile shape
+    lives in the state arrays). They may be python ints or traced scalars —
+    passing them dynamically lets one compiled tile program serve every
+    frame resolution (first-call program cost on the tunneled runtime is
+    88-580 s PER SHAPE, see NOTES.md)."""
     f32 = jnp.float32
     n = s["mode"].shape[0]
     px, py = s["px"], s["py"]
-    lane = py.astype(jnp.uint32) * jnp.uint32(width) + px.astype(jnp.uint32)
+    wu = jnp.asarray(width, jnp.uint32)
+    wf = jnp.asarray(width, f32)
+    hf = jnp.asarray(full_height, f32)
+    lane = py.astype(jnp.uint32) * wu + px.astype(jnp.uint32)
 
     regen = s["mode"] == MODE_REGEN
     can = regen & (s["spp_done"] < spp)
@@ -183,8 +195,8 @@ def phase_regen_body(s, scene, params, cfg, width, spp, spp_base, full_height):
     z_cam = -0.5 / jnp.tan(0.5 * M_PI * params.cam_fov / 180.0)
     pix = jnp.stack(
         [
-            (px.astype(f32) + u2j[..., 0] - f32(width) * 0.5) / f32(full_height),
-            (py.astype(f32) + u2j[..., 1] - f32(full_height) * 0.5) / f32(full_height),
+            (px.astype(f32) + u2j[..., 0] - wf * 0.5) / hf,
+            (py.astype(f32) + u2j[..., 1] - hf * 0.5) / hf,
         ],
         axis=-1,
     )
@@ -319,7 +331,7 @@ def _resolve_tests(s, scene, params, cfg):
             outs += [seed_c, m]
             return pack_cols(*outs)
 
-        out = compact_apply(test, pack_cols(*cols), fetch, k)
+        out = compact_apply(test, pack_cols(*cols), fetch, k, cfg.compact_selector)
         d = out[..., 0]
         ofs = 1
         if cfg.has_emission:
@@ -405,7 +417,7 @@ def phase_nee_body(s, scene, params, cfg):
                 le_c = scene.env.strength * bilinear_env(scene.env, uvx, uvy)[..., :3]
             return pack_cols(pdf_c, w_i_c, le_c, *outs, seed_c, m)
 
-        out = compact_apply(ext_hit, pack_cols(*cols), fetch, k)
+        out = compact_apply(ext_hit, pack_cols(*cols), fetch, k, cfg.compact_selector)
         pdf_nee = out[..., 0]
         w_i = out[..., 1:4]
         le = out[..., 4:7]
@@ -504,7 +516,7 @@ def phase_finish_body(s, scene, params, cfg, do_escape=True):
                 le4 = bilinear_env(scene.env, rows[..., 0], rows[..., 1])
                 return pack_cols(le4[..., :3], m)
 
-            out = compact_apply(esc, pack_cols(uv_x, uv_y), fetch, k)
+            out = compact_apply(esc, pack_cols(uv_x, uv_y), fetch, k, cfg.compact_selector)
             le_env = scene.env.strength * out[..., 0:3]
             esc = esc & (out[..., 3] > 0.0)
         else:
@@ -603,7 +615,7 @@ _RW = {
 }
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "full_height"))
+@partial(jax.jit, static_argnames=("cfg",))
 def _phase_regen_sub(rw, ro, scene, params, cfg, width, spp, spp_base, full_height):
     out = phase_regen_body({**ro, **rw}, scene, params, cfg, width, spp, spp_base, full_height)
     return {k: out[k] for k in _RW["regen"]}
@@ -723,7 +735,7 @@ def render_wavefront_host(
     # generous safety bound: a sample needs on the order of
     # bounces x (DDA steps per segment) / k_march steps; runaway lanes
     # (fp pathologies) must not hang production renders
-    max_steps = 4096 + 512 * int(spp)
+    max_steps = safety_steps(int(spp), params.bounces)
     state = init_state(width, height, row0)
     steps = 0
     import numpy as _np
@@ -771,7 +783,9 @@ def _tile_loop(state, scene, params, cfg, width, spp, spp_base, full_height, k_m
 
     # safety bound: runaway lanes (fp pathologies) must not hang renders;
     # a sample needs on the order of bounces x DDA-steps / k_march groups
-    max_iters = jnp.int32(4096) + jnp.int32(512) * jnp.asarray(spp, jnp.int32)
+    max_iters = (jnp.int32(4096) + jnp.int32(512) * jnp.asarray(spp, jnp.int32)) * (
+        jnp.maximum(params.bounces, 32) // 32 + 1
+    )
 
     def cond(c):
         s, it = c
@@ -826,7 +840,21 @@ def render_wavefront_tile(
 DEFAULT_TEST_EVERY = 2
 
 
-@partial(jax.jit, static_argnames=("cfg", "width", "full_height", "k_march", "unroll", "test_every"))
+def safety_steps(spp, bounces):
+    """Host-side runaway bound for the step-until-drained loops. A sample
+    needs on the order of bounces x (DDA steps per segment) / k_march
+    wavefront steps; dense volumes (density_scale >> 1) at high bounce
+    caps legitimately exceed the old spp-only bound (4096 + 512*spp blew
+    up at 128 bounces / 100x density: probes/probe_parity, round 3). The
+    bound exists ONLY to stop fp-pathology hangs — generous is correct.
+    ``bounces`` may be a device scalar (pulled once per render call)."""
+    import numpy as _np
+
+    b = int(_np.asarray(bounces))
+    return (4096 + 512 * int(spp)) * max(1, -(-b // 32))
+
+
+@partial(jax.jit, static_argnames=("cfg", "k_march", "unroll", "test_every"))
 def _megastep_jit(state, scene, params, cfg, width, spp, spp_base, full_height,
                   k_march, unroll, test_every=DEFAULT_TEST_EVERY):
     for i in range(unroll):
@@ -868,29 +896,39 @@ def render_wavefront_chunked(
     check_every=2,
     state=None,
     test_every=DEFAULT_TEST_EVERY,
+    col0=0,
+    full_width=None,
 ):
     """Host loop over unrolled megastep programs (see block comment above).
     Sample streams are identical to the other engines (per-lane logic does
     not depend on unroll/k_march grouping). Returns the (height, width, 4)
-    SUM of spp per-sample (L, alpha) values."""
+    SUM of spp per-sample (L, alpha) values for the tile at (col0, row0)
+    of the full_width x full_height frame.
+
+    Frame dimensions are DYNAMIC program inputs: one compiled megastep
+    serves every resolution that shares the tile shape (first-call program
+    cost through the tunneled runtime is 88-580 s per shape)."""
     full_height = height if full_height is None else full_height
+    full_width = width if full_width is None else full_width
     if k_march is None:
         k_march = _default_k_march()
     if unroll is None:
         unroll = _default_unroll()
     spp = jnp.asarray(spp, jnp.int32)
     spp_base = jnp.asarray(spp_base, jnp.int32)
-    max_steps = 4096 + 512 * int(spp)
+    fw = jnp.asarray(full_width, jnp.int32)
+    fh = jnp.asarray(full_height, jnp.int32)
+    max_steps = safety_steps(int(spp), params.bounces)
     if state is None:
-        state = init_state(width, height, row0)
+        state = init_state(width, height, row0, col0=col0)
     steps = 0
     import numpy as _np
 
     while True:
         for _ in range(check_every):
             state, n_active = _megastep_jit(
-                state, scene, params, cfg, width, spp, spp_base,
-                full_height, k_march, unroll, test_every,
+                state, scene, params, cfg, fw, spp, spp_base,
+                fh, k_march, unroll, test_every,
             )
         steps += check_every * unroll
         stuck = int(_np.asarray(n_active)[0])  # forces sync once per group
@@ -913,37 +951,53 @@ def render_wavefront_tiled(
     spp,
     spp_base,
     tile_rows=256,
+    tile_cols=None,
     **kwargs,
 ):
-    """Row-block driver over render_wavefront_chunked.
+    """Tile-block driver over render_wavefront_chunked.
 
-    Large frames run as ``height / tile_rows`` blocks through the SAME
-    compiled megastep program (one compile per width x tile_rows shape,
-    not per full resolution), and each block stops as soon as ITS lanes
-    drain — background regions (sky escapes in a bounce or two) no longer
-    march in lockstep with the densest tile. Per-lane sample streams
-    depend only on the absolute pixel row (row0 + local row), so the
-    concatenated image is bit-identical to the untiled render."""
-    if height % tile_rows != 0 or height == tile_rows:
+    Large frames run as (height/tile_rows) x (width/tile_cols) blocks
+    through the SAME compiled megastep program — one compile per TILE
+    shape, shared across every frame resolution (frame dims are dynamic
+    inputs) — and each block stops as soon as ITS lanes drain: background
+    regions (sky escapes in a bounce or two) no longer march in lockstep
+    with the densest tile. Per-lane sample streams depend only on the
+    absolute pixel (col0 + x, row0 + y), so the assembled image is
+    bit-identical to the untiled render."""
+    if tile_cols is None:
+        tile_cols = tile_rows
+    if (
+        height % tile_rows != 0
+        or width % tile_cols != 0
+        or (height == tile_rows and width == tile_cols)
+    ):
         return render_wavefront_chunked(
             scene, params, cfg, width, height, spp, spp_base, **kwargs
         )
-    blocks = [
-        render_wavefront_chunked(
-            scene,
-            params,
-            cfg,
-            width,
-            tile_rows,
-            spp,
-            spp_base,
-            row0=r0,
-            full_height=height,
-            **kwargs,
+    rows = [
+        jnp.concatenate(
+            [
+                render_wavefront_chunked(
+                    scene,
+                    params,
+                    cfg,
+                    tile_cols,
+                    tile_rows,
+                    spp,
+                    spp_base,
+                    row0=r0,
+                    col0=c0,
+                    full_height=height,
+                    full_width=width,
+                    **kwargs,
+                )
+                for c0 in range(0, width, tile_cols)
+            ],
+            axis=1,
         )
         for r0 in range(0, height, tile_rows)
     ]
-    return jnp.concatenate(blocks, axis=0)
+    return jnp.concatenate(rows, axis=0)
 
 
 def render_wavefront(scene, params, cfg, width, height, spp, spp_base, k_march=None):

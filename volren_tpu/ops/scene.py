@@ -173,6 +173,10 @@ class TraceConfig(NamedTuple):
     compact_resolve: int = 0  # density-test resolve (EV_TEST lanes)
     compact_nee: int = 0  # NEE alias sample + TF tint (EV_EXT_HIT lanes)
     compact_escape: int = 0  # escape env fetch (EV_EXT_EXIT lanes)
+    # lane selector for the budgets above: "block" = sort-free strided
+    # block-argmax (default), "topk" = exact priority via lax.top_k (a
+    # sort-network per compacted stage per step — kept for A/B probing)
+    compact_selector: str = "block"
 
 
 def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:

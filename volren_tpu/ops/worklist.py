@@ -49,6 +49,7 @@ from .megakernel import (
     MODE_REGEN,
     _default_k_march,
     _default_unroll,
+    safety_steps,
     step_body,
 )
 
@@ -67,12 +68,15 @@ def init_queue_state(lanes: int):
     return s
 
 
-def dequeue_body(s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0):
+def dequeue_body(s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0,
+                 col0=0):
     """Flush finished items and claim new ones.
 
     fb: (n_items, 4) per-item accumulation buffer. cursor: (8,) i32 queue
     head (vector-widened: scalar program outputs hit this runtime's slow
-    path, see megakernel._phase_finish_act_sub). Returns (s, fb, cursor).
+    path, see megakernel._phase_finish_act_sub). ``width`` is the TILE
+    width (static, shapes the item space); (col0, row0) place the tile in
+    the full frame and may be traced. Returns (s, fb, cursor).
     """
     i32 = jnp.int32
     n_items = fb.shape[0]
@@ -91,7 +95,7 @@ def dequeue_body(s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0):
     pix = item // n_chunks  # sample-minor interleave
     chunk = item % n_chunks
     s["item"] = item
-    s["px"] = jnp.where(have, pix % width, s["px"])
+    s["px"] = jnp.where(have, pix % width + col0, s["px"])
     s["py"] = jnp.where(have, pix // width + row0, s["py"])
     s["spp_lane"] = jnp.where(
         have, jnp.minimum(csize, spp - chunk * csize), s["spp_lane"]
@@ -106,14 +110,16 @@ def dequeue_body(s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0):
 
 def step_body_queue(s, fb, cursor, scene, params, cfg, width, full_height,
                     n_chunks, csize, spp, spp_base, k_march,
-                    do_escape=True, test_every=None, do_nee=True, row0=0):
+                    do_escape=True, test_every=None, do_nee=True, row0=0,
+                    col0=0, full_width=None):
     """One work-queue wavefront step: dequeue, then the standard
     regen -> march -> nee -> finish step with per-lane spp windows."""
+    full_width = width if full_width is None else full_width
     s, fb, cursor = dequeue_body(
-        s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0
+        s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0, col0
     )
     s = step_body(
-        s, scene, params, cfg, width, s["spp_lane"], s["sppb_lane"],
+        s, scene, params, cfg, full_width, s["spp_lane"], s["sppb_lane"],
         full_height, k_march, do_escape=do_escape, test_every=test_every,
         do_nee=do_nee,
     )
@@ -123,20 +129,21 @@ def step_body_queue(s, fb, cursor, scene, params, cfg, width, full_height,
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "width", "full_height", "n_chunks", "csize", "spp",
-        "k_march", "unroll", "test_every", "row0",
+        "cfg", "width", "n_chunks", "csize", "spp",
+        "k_march", "unroll", "test_every",
     ),
 )
 def _megastep_queue_jit(state, fb, cursor, scene, params, cfg, width,
                         full_height, n_chunks, csize, spp, spp_base,
                         k_march, unroll, test_every=DEFAULT_TEST_EVERY,
-                        row0=0):
+                        row0=0, col0=0, full_width=None):
     for i in range(unroll):
         alt = (i % 2 == 1) or unroll == 1  # see megakernel._megastep_jit
         state, fb, cursor = step_body_queue(
             state, fb, cursor, scene, params, cfg, width, full_height,
             n_chunks, csize, spp, spp_base, k_march,
             do_escape=alt, test_every=test_every, do_nee=alt, row0=row0,
+            col0=col0, full_width=full_width,
         )
     n_active = jnp.broadcast_to(
         (state["mode"] != MODE_INACTIVE).sum(dtype=jnp.int32), (8,)
@@ -168,16 +175,21 @@ def render_wavefront_queue(
     unroll=None,
     check_every=2,
     test_every=DEFAULT_TEST_EVERY,
+    col0=0,
+    full_width=None,
 ):
     """Work-queue render (module doc). Returns the (height, width, 4) SUM
-    of spp per-sample (L, alpha) values.
+    of spp per-sample (L, alpha) values for the tile at (col0, row0) of
+    the full_width x full_height frame.
 
     spp and csize are compile-time constants here (the accumulation buffer
     is (n_pixels * spp/csize, 4)); progressive callers pass the same chunk
-    size per trace() call so programs cache."""
+    size per trace() call so programs cache. Frame dims and tile offsets
+    are dynamic — one compiled program per tile shape."""
     import numpy as _np
 
     full_height = height if full_height is None else full_height
+    full_width = width if full_width is None else full_width
     if k_march is None:
         k_march = _default_k_march()
     if unroll is None:
@@ -193,16 +205,20 @@ def render_wavefront_queue(
     fb = jnp.zeros((n_items, 4), jnp.float32)
     cursor = jnp.zeros((8,), jnp.int32)
     spp_base = jnp.asarray(spp_base, jnp.int32)
+    row0 = jnp.asarray(row0, jnp.int32)
+    col0 = jnp.asarray(col0, jnp.int32)
+    fw = jnp.asarray(full_width, jnp.int32)
+    fh = jnp.asarray(full_height, jnp.int32)
 
     # safety bound: ~items-per-lane generations of the per-chunk step bound
-    max_steps = (4096 + 512 * csize) * (n_items // lanes + 2)
+    max_steps = safety_steps(csize, params.bounces) * (n_items // lanes + 2)
     steps = 0
     while True:
         for _ in range(check_every):
             state, fb, cursor, n_active = _megastep_queue_jit(
-                state, fb, cursor, scene, params, cfg, width, full_height,
+                state, fb, cursor, scene, params, cfg, width, fh,
                 n_chunks, csize, spp, spp_base, k_march, unroll,
-                test_every, row0,
+                test_every, row0, col0, fw,
             )
         steps += check_every * unroll
         stuck = int(_np.asarray(n_active)[0])
@@ -216,3 +232,56 @@ def render_wavefront_queue(
             )
     img = fb.reshape(n_pix, n_chunks, 4).sum(axis=1)  # fixed chunk order
     return img.reshape(height, width, 4)
+
+
+def render_wavefront_queue_tiled(
+    scene,
+    params,
+    cfg,
+    width,
+    height,
+    spp,
+    spp_base,
+    tile_rows=256,
+    tile_cols=None,
+    **kwargs,
+):
+    """Tile-block driver over render_wavefront_queue (same contract as
+    megakernel.render_wavefront_tiled): one compiled queue program per
+    tile shape shared across frame resolutions, per-tile early drain, and
+    a bounded (n_tile_pixels * n_chunks, 4) item buffer instead of a
+    full-frame one (128 MB at 1024^2 x 8 chunks untiled)."""
+    if tile_cols is None:
+        tile_cols = tile_rows
+    if (
+        height % tile_rows != 0
+        or width % tile_cols != 0
+        or (height == tile_rows and width == tile_cols)
+    ):
+        return render_wavefront_queue(
+            scene, params, cfg, width, height, spp, spp_base, **kwargs
+        )
+    rows = [
+        jnp.concatenate(
+            [
+                render_wavefront_queue(
+                    scene,
+                    params,
+                    cfg,
+                    tile_cols,
+                    tile_rows,
+                    spp,
+                    spp_base,
+                    row0=r0,
+                    col0=c0,
+                    full_height=height,
+                    full_width=width,
+                    **kwargs,
+                )
+                for c0 in range(0, width, tile_cols)
+            ],
+            axis=1,
+        )
+        for r0 in range(0, height, tile_rows)
+    ]
+    return jnp.concatenate(rows, axis=0)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.megakernel import render_wavefront_tile
+from ..ops.megakernel import render_wavefront_tile, safety_steps
 
 
 def make_mesh(n_tiles: int | None = None, n_spp: int = 1, devices=None) -> Mesh:
@@ -118,7 +118,7 @@ def render_sharded(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh,
         )
     )
 
-    max_steps = 4096 + 512 * int(local_spp)
+    max_steps = safety_steps(int(local_spp), params.bounces)
     steps = 0
     while True:
         for _ in range(2):
@@ -212,7 +212,7 @@ def render_sharded_queue(scene, params, cfg, width, height, spp, spp_base,
         )
     )
 
-    max_steps = (4096 + 512 * csize) * (n_items_local // lanes_local + 2)
+    max_steps = safety_steps(csize, params.bounces) * (n_items_local // lanes_local + 2)
     steps = 0
     while True:
         for _ in range(check_every):

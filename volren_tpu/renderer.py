@@ -98,10 +98,14 @@ class Renderer:
             self.compact = tuple(
                 int(v) for v in os.environ["VOLREN_COMPACT"].split(",")
             )
-        # chunked-engine row-block size: frames taller than this render as
-        # row blocks through one compiled program (compile once per block
-        # shape; drained blocks stop early). Bit-identical to untiled.
+        # tile-block size for the chunked/queue engines: larger frames
+        # render as tile_rows x tile_cols blocks through ONE compiled
+        # program (frame dims are dynamic inputs, so the same program also
+        # serves every resolution; first-call program cost through the
+        # tunneled runtime is 88-580 s per shape). Drained blocks stop
+        # early. Bit-identical to untiled.
         self.tile_rows = 256
+        self.tile_cols = None  # None = square tiles (tile_rows)
         # optional jax.sharding.Mesh: shards the wavefront state row-wise
         # across devices (set via distribute())
         self.mesh = None
@@ -276,9 +280,9 @@ class Renderer:
                     self.sample,
                 )
             elif self.step_engine == "queue":
-                from .ops.worklist import render_wavefront_queue
+                from .ops.worklist import render_wavefront_queue_tiled
 
-                accum = render_wavefront_queue(
+                accum = render_wavefront_queue_tiled(
                     self._scene_device(),
                     self._trace_params(),
                     self._config(),
@@ -286,6 +290,8 @@ class Renderer:
                     self._height,
                     int(spp),
                     self.sample,
+                    tile_rows=self.tile_rows,
+                    tile_cols=self.tile_cols,
                     lanes=self.queue_lanes,
                     csize=self.queue_csize,
                 )
@@ -313,6 +319,7 @@ class Renderer:
                     int(spp),
                     self.sample,
                     tile_rows=self.tile_rows,
+                    tile_cols=self.tile_cols,
                 )
             prev = self.sample
             self.sample += int(spp)
