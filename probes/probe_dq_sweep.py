@@ -1,0 +1,77 @@
+"""Device-queue L x csize sweep at 256^2 and 1024^2 (smoke, 100 bounces).
+
+L=16k tripled throughput over L=64k at 256^2 (15.7 vs 5.2 spp/s): per-step
+cost ~ a + b*L while queue work is L-independent, so small lane arrays win
+until steps ~ max(W/L, straggler depth) bites. Finds the optimum per
+resolution. Run ALONE.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if jax.config.jax_compilation_cache_dir is None:
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+
+SEED = int(time.time()) & 0x7FFFFFFF
+
+from volren_tpu.renderer import Renderer
+from volren_tpu.scene.environment import Environment
+from volren_tpu.voldata import Volume
+from volren_tpu.ops.worklist import render_wavefront_queue_device
+
+r = Renderer()
+r.volume = Volume("/root/reference/data/smoke.brick")
+r.scale_and_move_to_unit_cube()
+r.set_environment(Environment("/root/reference/data/table_mountain_2_puresky_1k.hdr"))
+r.bounces = 100
+r.seed = SEED
+r.init(256, 256)
+r.commit()
+scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
+
+spp_base = [0]
+
+
+def run(res, spp, **kw):
+    label = f"{res}^2 spp{spp} " + " ".join(f"{k}={v}" for k, v in kw.items())
+    t0 = time.time()
+    out = render_wavefront_queue_device(
+        scene, params, cfg, res, res, spp, 990_000 + spp_base[0], **kw
+    )
+    _ = np.asarray(out)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    out = render_wavefront_queue_device(
+        scene, params, cfg, res, res, spp, spp_base[0], **kw
+    )
+    out = np.asarray(out)
+    dt = time.time() - t0
+    spp_base[0] += spp
+    print(json.dumps({
+        "probe": "dq_sweep", "label": label, "res": res,
+        "spp_s": round(spp / dt, 3), "wall_s": round(dt, 2),
+        "compile_s": round(compile_s, 1),
+        "mean": float(out[..., :3].mean() / spp), "seed": SEED,
+    }), flush=True)
+
+
+PART = os.environ.get("PROBE_PART", "256")
+
+if PART == "256":
+    for L in (4096, 8192, 16384):
+        run(256, 16, csize=2, unroll=4, lanes=L)
+    run(256, 16, csize=1, unroll=4, lanes=8192)
+    run(256, 16, csize=4, unroll=4, lanes=8192)
+    run(256, 16, csize=2, unroll=8, lanes=8192)
+else:
+    for L in (16384, 32768):
+        run(1024, 16, csize=2, unroll=4, lanes=L)

@@ -114,6 +114,41 @@ def test_queue_chunked_items_match_chunk_order_sum(small_scene):
     np.testing.assert_allclose(q, parts[0] + parts[1], rtol=3e-6, atol=1e-6)
 
 
+def test_queue_device_matches_host(small_scene):
+    """The single-dispatch while_loop queue engine (one device program per
+    render, zero host syncs) claims items and seeds samples identically to
+    the host-stepped queue loop — same image up to jit fp-contraction."""
+    from volren_tpu.ops.worklist import render_wavefront_queue_device
+
+    scene, params, cfg = small_scene
+    a = np.asarray(
+        render_wavefront_queue(scene, params, cfg, 16, 16, 4, 0, lanes=128, csize=2)
+    )
+    b = np.asarray(
+        render_wavefront_queue_device(
+            scene, params, cfg, 16, 16, 4, 0, lanes=128, csize=2
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-6)
+
+
+def test_queue_device_tiled_dispatch(small_scene):
+    """device=True through the tiled driver returns the same frame."""
+    from volren_tpu.ops.worklist import render_wavefront_queue_tiled
+
+    scene, params, cfg = small_scene
+    a = np.asarray(
+        render_wavefront_queue(scene, params, cfg, 16, 16, 2, 0, lanes=128, csize=2)
+    )
+    b = np.asarray(
+        render_wavefront_queue_tiled(
+            scene, params, cfg, 16, 16, 2, 0, tile_rows=8, lanes=128, csize=2,
+            device=True,
+        )
+    )
+    np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-6)
+
+
 def test_queue_tiled_matches_untiled(small_scene):
     """2D tile-block queue driver: per-item sample streams depend only on
     the absolute pixel, so any tiling reassembles the same image (tiles

@@ -269,6 +269,9 @@ def main(argv: list[str] | None = None) -> int:
             renderer.engine = "oracle"
         elif arg == "--engine":
             renderer.engine = take()
+        elif arg == "--step-engine":
+            # chunked | device | host | queue | device_queue (renderer.py)
+            renderer.step_engine = take()
         elif arg == "--animate":
             animate = True
         elif arg == "--fps":

@@ -234,6 +234,103 @@ def render_wavefront_queue(
     return img.reshape(height, width, 4)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "width", "n_chunks", "csize", "spp", "k_march", "unroll",
+        "test_every",
+    ),
+)
+def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
+                      full_height, n_chunks, csize, spp, spp_base, k_march,
+                      unroll, test_every, row0, col0, full_width):
+    """The whole queue render as ONE program: lax.while_loop until every
+    item is claimed and every lane drained. Zero host syncs mid-render —
+    the measured per-megastep fixed cost (~33 ms/call through the tunnel)
+    and per-group activity pull (~25 ms) vanish; the loop cond runs on
+    device. ``unroll`` steps run per cond check (inactive lanes no-op, so
+    overshoot past drain is harmless and sample streams stay identical)."""
+    import jax.lax as lax
+
+    n_items = fb.shape[0]
+    lanes = state["mode"].shape[0]
+    max_iters = (
+        (jnp.int32(4096) + jnp.int32(512) * jnp.int32(csize))
+        * (jnp.maximum(params.bounces, 32) // 32 + 1)
+        * jnp.int32(n_items // lanes + 2)
+    )
+
+    def cond(c):
+        s, fb_, cur, it = c
+        return ((s["mode"] != MODE_INACTIVE).any()) & (it < max_iters)
+
+    def body(c):
+        s, fb_, cur, it = c
+        for i in range(unroll):
+            alt = (i % 2 == 1) or unroll == 1  # see _megastep_queue_jit
+            s, fb_, cur = step_body_queue(
+                s, fb_, cur, scene, params, cfg, width, full_height,
+                n_chunks, csize, spp, spp_base, k_march,
+                do_escape=alt, test_every=test_every, do_nee=alt, row0=row0,
+                col0=col0, full_width=full_width,
+            )
+        return s, fb_, cur, it + unroll
+
+    state, fb, cursor, it = lax.while_loop(
+        cond, body, (state, fb, cursor, jnp.int32(0))
+    )
+    return fb, jnp.broadcast_to(it, (8,))
+
+
+def render_wavefront_queue_device(
+    scene,
+    params,
+    cfg,
+    width,
+    height,
+    spp,
+    spp_base,
+    row0=0,
+    full_height=None,
+    lanes=None,
+    csize=None,
+    k_march=None,
+    unroll=2,
+    test_every=DEFAULT_TEST_EVERY,
+    col0=0,
+    full_width=None,
+):
+    """Work-queue render as a single device dispatch (persistent-threads
+    analogue of the reference's one dispatch_compute per spp,
+    src/renderer.cpp:137-140 — here one dispatch per ``spp`` samples).
+    Same item/claim semantics and per-(pixel, sample) seeds as
+    render_wavefront_queue, so the image matches the host-stepped queue
+    engine; only the stepping loop moves on-device."""
+    full_height = height if full_height is None else full_height
+    full_width = width if full_width is None else full_width
+    if k_march is None:
+        k_march = _default_k_march()
+    spp = int(spp)
+    csize = spp if csize is None else min(int(csize), spp)
+    n_chunks = -(-spp // csize)
+    n_pix = width * height
+    n_items = n_pix * n_chunks
+    if lanes is None:
+        lanes = default_lanes(n_items)
+    state = init_queue_state(lanes)
+    fb = jnp.zeros((n_items, 4), jnp.float32)
+    cursor = jnp.zeros((8,), jnp.int32)
+    fb, _it = _queue_device_jit(
+        state, fb, cursor, scene, params, cfg, width,
+        jnp.asarray(full_height, jnp.int32), n_chunks, csize, spp,
+        jnp.asarray(spp_base, jnp.int32), k_march, int(unroll), test_every,
+        jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
+        jnp.asarray(full_width, jnp.int32),
+    )
+    img = fb.reshape(n_pix, n_chunks, 4).sum(axis=1)  # fixed chunk order
+    return img.reshape(height, width, 4)
+
+
 def render_wavefront_queue_tiled(
     scene,
     params,
@@ -250,7 +347,17 @@ def render_wavefront_queue_tiled(
     megakernel.render_wavefront_tiled): one compiled queue program per
     tile shape shared across frame resolutions, per-tile early drain, and
     a bounded (n_tile_pixels * n_chunks, 4) item buffer instead of a
-    full-frame one (128 MB at 1024^2 x 8 chunks untiled)."""
+    full-frame one (128 MB at 1024^2 x 8 chunks untiled).
+
+    device=True dispatches each tile as a single on-device while_loop
+    (render_wavefront_queue_device) instead of the host-stepped loop."""
+    inner = (
+        render_wavefront_queue_device
+        if kwargs.pop("device", False)
+        else render_wavefront_queue
+    )
+    if inner is render_wavefront_queue_device:
+        kwargs.pop("check_every", None)
     if tile_cols is None:
         tile_cols = tile_rows
     if (
@@ -258,13 +365,13 @@ def render_wavefront_queue_tiled(
         or width % tile_cols != 0
         or (height == tile_rows and width == tile_cols)
     ):
-        return render_wavefront_queue(
+        return inner(
             scene, params, cfg, width, height, spp, spp_base, **kwargs
         )
     rows = [
         jnp.concatenate(
             [
-                render_wavefront_queue(
+                inner(
                     scene,
                     params,
                     cfg,

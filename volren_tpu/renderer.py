@@ -279,7 +279,7 @@ class Renderer:
                     int(spp),
                     self.sample,
                 )
-            elif self.step_engine == "queue":
+            elif self.step_engine in ("queue", "device_queue"):
                 from .ops.worklist import render_wavefront_queue_tiled
 
                 accum = render_wavefront_queue_tiled(
@@ -294,6 +294,9 @@ class Renderer:
                     tile_cols=self.tile_cols,
                     lanes=self.queue_lanes,
                     csize=self.queue_csize,
+                    # device_queue: each tile is ONE on-device while_loop
+                    # dispatch (no per-megastep fixed cost, no host syncs)
+                    device=(self.step_engine == "device_queue"),
                 )
             elif self.step_engine == "device":
                 from .ops.megakernel import render_wavefront
