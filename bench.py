@@ -61,7 +61,8 @@ def _parse_stage(s):
 STAGES = [
     _parse_stage(s)
     for s in os.environ.get(
-        "BENCH_STAGES", "256:16:chunked,256:16:queue,512:16:auto,1024:16:auto"
+        "BENCH_STAGES",
+        "256:16:device_queue,256:16:chunked,512:16:auto,1024:32:auto",
     ).split(",")
 ]
 QUEUE_CSIZE = int(os.environ.get("BENCH_QUEUE_CSIZE", "2"))
@@ -219,6 +220,8 @@ def main():
     if os.environ.get("BENCH_PLATFORM"):  # e.g. cpu, for testing the harness
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 
+    import numpy as np
+
     from volren_tpu.renderer import Renderer
     from volren_tpu.scene.environment import Environment
     from volren_tpu.voldata import Volume
@@ -242,7 +245,7 @@ def main():
         r.bounces = BOUNCES
         r.seed = BENCH_SEED
         r.step_engine = engine
-        if engine == "queue":
+        if engine in ("queue", "device_queue"):
             r.queue_csize = QUEUE_CSIZE
         r.init(res, res)
         r.commit()
@@ -259,7 +262,8 @@ def main():
         chunk = max(1, min(8, spp))
         t0 = time.time()
         r.render(chunk)
-        jax.block_until_ready(r.framebuffer())
+        np.asarray(r.framebuffer())  # PULL: block_until_ready does not
+        # actually wait through the tunnel (NOTES.md round-3 trap 2)
         compile_s = time.time() - t0
 
         # measure in chunks so a partial stage still records a number.
@@ -272,7 +276,7 @@ def main():
         while done < spp:
             n = min(chunk, spp - done)
             r.trace(n)
-            jax.block_until_ready(r.framebuffer())
+            np.asarray(r.framebuffer())  # PULL (honest timing)
             done += n
             _record(res, done, time.time() - t0, compile_s, engine)
             if time.time() > deadline:

@@ -72,6 +72,29 @@ if PART == "256":
     run(256, 16, csize=1, unroll=4, lanes=8192)
     run(256, 16, csize=4, unroll=4, lanes=8192)
     run(256, 16, csize=2, unroll=8, lanes=8192)
-else:
+elif PART == "1024":
     for L in (16384, 32768):
         run(1024, 16, csize=2, unroll=4, lanes=L)
+elif PART == "knobs":
+    # march/test granularity at the L=4096 optimum (256^2): per-step cost
+    # at small L is op-count-bound, so k_march/test_every trade op count
+    # against step count
+    run(256, 16, csize=2, unroll=4, lanes=4096, k_march=4)
+    run(256, 16, csize=2, unroll=4, lanes=4096, k_march=16)
+    run(256, 16, csize=2, unroll=4, lanes=4096, test_every=4)
+    run(256, 16, csize=2, unroll=4, lanes=4096, k_march=16, test_every=4)
+    run(256, 16, csize=2, unroll=4, lanes=2048)
+    run(256, 64, csize=2, unroll=4, lanes=4096)
+elif PART == "1024b":
+    run(1024, 16, csize=2, unroll=4, lanes=8192)
+    run(1024, 16, csize=1, unroll=4, lanes=16384)
+    run(1024, 64, csize=2, unroll=4, lanes=16384)
+elif PART == "1024knobs":
+    run(1024, 16, csize=2, unroll=4, lanes=16384, test_every=4)
+    run(1024, 16, csize=2, unroll=4, lanes=16384, k_march=4, test_every=4)
+    run(1024, 16, csize=2, unroll=4, lanes=16384, k_march=4)
+    run(1024, 64, csize=2, unroll=4, lanes=16384, test_every=4)
+elif PART == "256b":
+    run(256, 16, csize=2, unroll=4, lanes=2048, test_every=4)
+    run(256, 16, csize=2, unroll=4, lanes=4096, test_every=8)
+    run(256, 16, csize=2, unroll=4, lanes=4096, k_march=4, test_every=4)

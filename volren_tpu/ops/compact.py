@@ -117,16 +117,15 @@ def compact_apply(mask, inputs, fn, k, selector="block"):
     if picked is not None:
         mask_c = mask_c & picked
     rows_out = fn(rows_in[..., :-1], mask_c)
-    base = jnp.zeros((n, rows_out.shape[-1]), jnp.float32)
     if picked is None:
+        base = jnp.zeros((n, rows_out.shape[-1]), jnp.float32)
         return vscatter_rows(base, sel, rows_out)
-    # duplicate un-picked slots must not land: route each to its own OOB
-    # sentinel (n + slot index — unique, so unique_indices stays honest)
-    # dropped by the scatter. Must be a scatter-SET, not add: rows carry
-    # bitcast u32 seeds whose float patterns are denormal, and 0.0 + x
-    # flushes them to zero under FTZ.
+    # un-picked slots must not land on real lanes: route each to its own
+    # padding row past n (unique AND in-bounds in an (n+k)-row base, so the
+    # scatter keeps the same fast promise_in_bounds/unique form as the topk
+    # path — no "drop" mode), then slice the padding off. Must be a
+    # scatter-SET, not add: rows carry bitcast u32 seeds whose float
+    # patterns are denormal, and 0.0 + x flushes them to zero under FTZ.
     sel_s = jnp.where(mask_c, sel, n + jnp.arange(k, dtype=sel.dtype))
-    (sel_s, rows_out) = lax.optimization_barrier((sel_s, rows_out))
-    out = base.at[sel_s].set(rows_out, mode="drop", unique_indices=True)
-    (out,) = lax.optimization_barrier((out,))
-    return out
+    base = jnp.zeros((n + k, rows_out.shape[-1]), jnp.float32)
+    return vscatter_rows(base, sel_s, rows_out)[:n]

@@ -295,17 +295,21 @@ def render_wavefront_queue_device(
     lanes=None,
     csize=None,
     k_march=None,
-    unroll=2,
-    test_every=DEFAULT_TEST_EVERY,
+    unroll=4,
+    test_every=None,
     col0=0,
     full_width=None,
+    return_steps=False,
 ):
     """Work-queue render as a single device dispatch (persistent-threads
     analogue of the reference's one dispatch_compute per spp,
     src/renderer.cpp:137-140 — here one dispatch per ``spp`` samples).
     Same item/claim semantics and per-(pixel, sample) seeds as
     render_wavefront_queue, so the image matches the host-stepped queue
-    engine; only the stepping loop moves on-device."""
+    engine; only the stepping loop moves on-device.
+
+    return_steps=True returns (image, wavefront step count) for cost
+    attribution probes."""
     full_height = height if full_height is None else full_height
     full_width = width if full_width is None else full_width
     if k_march is None:
@@ -316,11 +320,22 @@ def render_wavefront_queue_device(
     n_pix = width * height
     n_items = n_pix * n_chunks
     if lanes is None:
-        lanes = default_lanes(n_items)
+        # much smaller than the host engine's default: with zero per-step
+        # dispatch cost, per-step cost ~ a + b*L while queue work is
+        # L-independent — measured optimum n_items/128 at 256^2 (29.4 vs
+        # 15.9 spp/s at /32), flat across 8k-32k at 1024^2 (work-bound)
+        lanes = min(32768, max(4096, -(-n_items // 128 // 128) * 128))
+        lanes = min(-(-n_items // 128) * 128, lanes)
+    if test_every is None:
+        # small lane arrays are per-step-op-bound: fewer resolves per step
+        # wins (41.4 vs 29.4 spp/s at 256^2/L=4096). Large arrays are
+        # lane-marginal-bound: parked lanes waste lane cost, resolve often
+        # (te=4 measured 9% SLOWER than 2 at 1024^2/L=16k).
+        test_every = 4 if lanes <= 4096 else DEFAULT_TEST_EVERY
     state = init_queue_state(lanes)
     fb = jnp.zeros((n_items, 4), jnp.float32)
     cursor = jnp.zeros((8,), jnp.int32)
-    fb, _it = _queue_device_jit(
+    fb, it = _queue_device_jit(
         state, fb, cursor, scene, params, cfg, width,
         jnp.asarray(full_height, jnp.int32), n_chunks, csize, spp,
         jnp.asarray(spp_base, jnp.int32), k_march, int(unroll), test_every,
@@ -328,7 +343,8 @@ def render_wavefront_queue_device(
         jnp.asarray(full_width, jnp.int32),
     )
     img = fb.reshape(n_pix, n_chunks, 4).sum(axis=1)  # fixed chunk order
-    return img.reshape(height, width, 4)
+    img = img.reshape(height, width, 4)
+    return (img, it[0]) if return_steps else img
 
 
 def render_wavefront_queue_tiled(

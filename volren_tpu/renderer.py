@@ -68,17 +68,17 @@ class Renderer:
         # (the TPU performance path); "oracle": literal port of the GLSL
         # nested-loop structure (slow, used for cross-validation)
         self.engine = "wavefront"
-        # "chunked": host loop over unrolled straight-line megastep programs
-        # (the TPU fast path — gathers vectorize only OUTSIDE device loops,
-        # see ops.gather; measured 1.9 spp/s @256^2 vs 0.86 for "host");
-        # "queue": work-queue engine — a small persistent lane array
-        # dequeues (pixel, sample-chunk) items, fixing the ~40x idle-lane
-        # integral of the fixed mapping (ops/worklist.py); "device": whole
-        # loop in one jitted while_loop (good on CPU, scalarizes gathers on
-        # TPU); "host": per-phase dispatch (interruptible; each phase pays
-        # the runtime's per-dispatch tax)
+        # "device_queue" (TPU default): the whole work-queue render as ONE
+        # lax.while_loop dispatch per tile — a small persistent lane array
+        # dequeues (pixel, sample-chunk) items on device, zero host syncs.
+        # Measured 29.4 spp/s @256^2 vs 3.5-5.4 for the host-stepped
+        # engines (whose per-dispatch fixed cost is ~30 ms through the
+        # tunnel) — see NOTES.md round-3. "queue": host-stepped work queue;
+        # "chunked": host loop over unrolled straight-line megasteps;
+        # "device": one while_loop with the fixed lane=pixel mapping (CPU
+        # default); "host": per-phase dispatch (interruptible).
         self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
-            "chunked" if jax.default_backend() == "tpu" else "device"
+            "device_queue" if jax.default_backend() == "tpu" else "device"
         )
         # queue-engine knobs (None = auto): lane-array size and samples per
         # work item. csize=None renders each pixel's spp on one lane
@@ -103,8 +103,11 @@ class Renderer:
         # program (frame dims are dynamic inputs, so the same program also
         # serves every resolution; first-call program cost through the
         # tunneled runtime is 88-580 s per shape). Drained blocks stop
-        # early. Bit-identical to untiled.
-        self.tile_rows = 256
+        # early. Bit-identical to untiled. None = engine-appropriate: 256
+        # for the host-stepped engines; 1024 for device_queue, whose item
+        # queue load-balances the whole frame on its own (tiling it only
+        # adds per-tile drain tails).
+        self.tile_rows = None
         self.tile_cols = None  # None = square tiles (tile_rows)
         # optional jax.sharding.Mesh: shards the wavefront state row-wise
         # across devices (set via distribute())
@@ -290,7 +293,8 @@ class Renderer:
                     self._height,
                     int(spp),
                     self.sample,
-                    tile_rows=self.tile_rows,
+                    tile_rows=self.tile_rows
+                    or (1024 if self.step_engine == "device_queue" else 256),
                     tile_cols=self.tile_cols,
                     lanes=self.queue_lanes,
                     csize=self.queue_csize,
@@ -321,7 +325,7 @@ class Renderer:
                     self._height,
                     int(spp),
                     self.sample,
-                    tile_rows=self.tile_rows,
+                    tile_rows=self.tile_rows or 256,
                     tile_cols=self.tile_cols,
                 )
             prev = self.sample
