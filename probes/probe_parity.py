@@ -42,7 +42,9 @@ r.set_environment(env)
 r.bounces = 128
 r.albedo = np.array([0.8, 0.8, 0.8], np.float32)
 r.phase = 0.3
-r.density_scale *= 100.0
+r.density_scale = 100.0  # ABSOLUTE, like the CLI/reference: parse_cmd
+# overwrites the unit-cube size compensation (main.cpp flag order);
+# *= here once rendered 100*size — far denser smoke, 22% RMSE
 r.tonemap_exposure = 3.0
 r.tonemap_gamma = 2.0
 r.cam.fov_degree = 40.0

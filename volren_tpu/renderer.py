@@ -235,6 +235,22 @@ class Renderer:
         (renderer.cpp:78-145; one GL dispatch = spp=1)."""
         if not self._density_grids:
             self.commit()
+        # bound per-dispatch work for the single-dispatch engine: a 64-spp
+        # parity-config while_loop reproducibly faulted the device
+        # (UNAVAILABLE kernel fault) where 16-spp dispatches of the same
+        # total ran fine; chunking here is semantically identical
+        # (progressive spp_base, accumulation is a running mean)
+        if (
+            self.engine == "wavefront"
+            and self.step_engine == "device_queue"
+            and int(spp) > 16
+        ):
+            done = 0
+            while done < int(spp):
+                n = min(16, int(spp) - done)
+                self.trace(n)
+                done += n
+            return
         if self.engine == "wavefront":
             if not self._use_dda:
                 raise NotImplementedError(
