@@ -34,7 +34,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # persistent XLA compilation cache: first-call program cost on the tunneled
 # device measured 88-580 s (NOTES.md round 2); warm-starting across bench
 # invocations is the difference between measuring and timing the compiler.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 TARGET_SPP_S_1024 = 30.0  # adopted working target, see module docstring
 
