@@ -179,7 +179,9 @@ class TraceConfig(NamedTuple):
     compact_selector: str = "block"
 
 
-def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:
+def upload_grid(
+    brick_grid, volume_transform: np.ndarray, pad_slots: bool = False
+) -> GridDevice:
     """BrickGrid (host) -> GridDevice. ``volume_transform`` is the Volume's
     world transform composed on top of the grid transform
     (renderer.cpp:112-113: vol_density_transform = volume.transform *
@@ -189,6 +191,18 @@ def upload_grid(brick_grid, volume_transform: np.ndarray) -> GridDevice:
     )
     inv = np.linalg.inv(t)
     atlas = brick_grid.atlas.reshape(brick_grid.atlas.shape[0], -1)
+    if pad_slots:
+        # bucket the slot axis to the next power of two: jit keys programs
+        # on every scene leaf's shape, and occupancy (= slot count) varies
+        # frame-to-frame in animations — without padding every frame of a
+        # VDB sequence recompiles the whole renderer. Padding slots are
+        # never referenced (indirection points below the real slot count).
+        # Off for single-frame scenes so their exact-shape programs stay
+        # cache-stable across sessions.
+        n_slots = atlas.shape[0]
+        bucket = max(16, 1 << max(0, n_slots - 1).bit_length())
+        if bucket > n_slots:
+            atlas = np.pad(atlas, ((0, bucket - n_slots), (0, 0)))
     meta = np.concatenate(
         [
             brick_grid.indirection.astype(np.float32)[..., None],

@@ -140,10 +140,13 @@ class Renderer:
         self._density_grids = []
         self._emission_grids = []
         self._majorant_emission = 0.0
+        # animations: bucket-pad atlas slot counts so every frame shares one
+        # compiled program (occupancy varies per frame; jit keys on shapes)
+        pad = len(self.volume.grids) > 1
         for frame in self.volume.grids:
             density = to_brick_grid(frame["density"])
             self._density_grids.append(
-                dscene.upload_grid(density, self.volume.transform)
+                dscene.upload_grid(density, self.volume.transform, pad_slots=pad)
             )
             emission = None
             for name in EMISSION_GRID_NAMES:
@@ -153,7 +156,7 @@ class Renderer:
             if emission is not None:
                 ebrick = to_brick_grid(emission)
                 self._emission_grids.append(
-                    dscene.upload_grid(ebrick, self.volume.transform)
+                    dscene.upload_grid(ebrick, self.volume.transform, pad_slots=pad)
                 )
                 self._majorant_emission = max(
                     self._majorant_emission, emission.minorant_majorant()[1]
