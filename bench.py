@@ -34,7 +34,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # persistent XLA compilation cache: first-call program cost on the tunneled
 # device measured 88-580 s (NOTES.md round 2); warm-starting across bench
 # invocations is the difference between measuring and timing the compiler.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# Path derived from the repo location (shared helper), not hardcoded.
+from volren_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 TARGET_SPP_S_1024 = 30.0  # adopted working target, see module docstring
 
@@ -213,10 +216,7 @@ def main():
 
     # the site hook imports jax before this file runs, so the env var above
     # may be read too late — set the config knob directly as well
-    if jax.config.jax_compilation_cache_dir is None:
-        jax.config.update(
-            "jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"]
-        )
+    setup_compilation_cache()
     if os.environ.get("BENCH_PLATFORM"):  # e.g. cpu, for testing the harness
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
 

@@ -19,14 +19,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+from volren_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import numpy as np
 
-import jax
-
-if jax.config.jax_compilation_cache_dir is None:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import jax  # noqa: F401  (backend init after cache setup)
 
 from volren_tpu.renderer import Renderer
 from volren_tpu.scene.environment import Environment
@@ -70,8 +70,11 @@ def synth_frames():
     return paths
 
 
-def build_renderer(volume, tf=None):
+def build_renderer(volume, tf=None, pad_slots=None):
     r = Renderer()
+    r.pad_slots = pad_slots  # cold-reload: force pow2 bucketing so single
+    # -frame commits share program shapes across frames (a per-frame exact
+    # shape would recompile 88-580 s per frame and swamp the timing)
     r.volume = volume
     r.scale_and_move_to_unit_cube()
     r.set_environment(
@@ -124,7 +127,7 @@ def main():
         v = Volume(p)
         load_s += time.time() - t1
         t1 = time.time()
-        r2_ = build_renderer(v)  # commit() = brick build + upload
+        r2_ = build_renderer(v, pad_slots=True)  # commit = build + upload
         build_s += time.time() - t1
         r2_.trace(SPP)
         np.asarray(r2_.framebuffer())

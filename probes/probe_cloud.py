@@ -16,17 +16,17 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+from volren_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import numpy as np
 
-import jax
-
-if jax.config.jax_compilation_cache_dir is None:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+import jax  # noqa: F401  (backend init after cache setup)
 
 from volren_tpu.renderer import Renderer
-from volren_tpu.scene.environment import Environment
+from volren_tpu.scene.environment import Environment, rotation_y
 from volren_tpu.voldata import Volume
 
 RES = int(os.environ.get("CLOUD_RES", "1024"))
@@ -102,7 +102,8 @@ def main():
     for pt in sweep:
         for k, v in pt.items():
             if k == "env_rot":
-                r.environment.set_rotation(v)
+                # env rotation lives on the transform (cli.py env_rot path)
+                r.environment.transform = rotation_y(float(v))
                 r.set_environment(r.environment)
             else:
                 setattr(r, k, v)
@@ -122,7 +123,7 @@ def main():
         r.albedo = np.array([0.9, 0.9, 0.9], np.float32)
         r.phase = 0.0
         if "env_rot" in pt:
-            r.environment.set_rotation(0.0)
+            r.environment.transform = rotation_y(0.0)
             r.set_environment(r.environment)
 
 

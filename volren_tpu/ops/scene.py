@@ -180,27 +180,34 @@ class TraceConfig(NamedTuple):
 
 
 def upload_grid(
-    brick_grid, volume_transform: np.ndarray, pad_slots: bool = False
+    brick_grid, volume_transform: np.ndarray, pad_slots: bool | int = False
 ) -> GridDevice:
     """BrickGrid (host) -> GridDevice. ``volume_transform`` is the Volume's
     world transform composed on top of the grid transform
     (renderer.cpp:112-113: vol_density_transform = volume.transform *
-    grid.transform)."""
+    grid.transform).
+
+    pad_slots pads the atlas slot axis so animation frames share one
+    compiled program: jit keys programs on every scene leaf's shape, and
+    occupancy (= slot count) varies frame-to-frame — without padding every
+    frame of a VDB sequence recompiles the whole renderer. Padding slots
+    are never referenced (indirection points below the real slot count).
+    True = bucket to the next power of two; an int = pad to exactly that
+    slot count (commit() passes the pow2 bucket of the max across ALL
+    frames so sequences straddling a pow2 boundary still share one shape).
+    False for single-frame scenes so their exact-shape programs stay
+    cache-stable across sessions."""
     t = np.asarray(volume_transform, np.float64) @ np.asarray(
         brick_grid.transform, np.float64
     )
     inv = np.linalg.inv(t)
     atlas = brick_grid.atlas.reshape(brick_grid.atlas.shape[0], -1)
     if pad_slots:
-        # bucket the slot axis to the next power of two: jit keys programs
-        # on every scene leaf's shape, and occupancy (= slot count) varies
-        # frame-to-frame in animations — without padding every frame of a
-        # VDB sequence recompiles the whole renderer. Padding slots are
-        # never referenced (indirection points below the real slot count).
-        # Off for single-frame scenes so their exact-shape programs stay
-        # cache-stable across sessions.
         n_slots = atlas.shape[0]
-        bucket = max(16, 1 << max(0, n_slots - 1).bit_length())
+        if pad_slots is True:
+            bucket = max(16, 1 << max(0, n_slots - 1).bit_length())
+        else:
+            bucket = max(int(pad_slots), n_slots)
         if bucket > n_slots:
             atlas = np.pad(atlas, ((0, bucket - n_slots), (0, 0)))
     meta = np.concatenate(

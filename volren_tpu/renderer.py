@@ -112,6 +112,11 @@ class Renderer:
         # optional jax.sharding.Mesh: shards the wavefront state row-wise
         # across devices (set via distribute())
         self.mesh = None
+        # atlas slot-padding override for commit(): None = auto (pad iff the
+        # volume has >1 frame), True = force pow2 bucketing (keeps program
+        # shapes stable across single-frame commits in streaming-reload
+        # loops), int = pad to that slot count, False = never pad
+        self.pad_slots = None
 
     # ---- lifecycle (RendererOpenGL::init/resize/commit/trace/draw/reset) ----
 
@@ -140,26 +145,53 @@ class Renderer:
         self._density_grids = []
         self._emission_grids = []
         self._majorant_emission = 0.0
-        # animations: bucket-pad atlas slot counts so every frame shares one
-        # compiled program (occupancy varies per frame; jit keys on shapes)
-        pad = len(self.volume.grids) > 1
+        # animations: pad atlas slot counts so every frame shares one
+        # compiled program (occupancy varies per frame; jit keys on shapes).
+        # All frames are visible here, so pad every frame to the pow2 bucket
+        # of the MAX slot count across frames — a per-frame bucket would
+        # still recompile for sequences straddling a pow2 boundary.
+        # self.pad_slots overrides: True forces pow2 bucketing for single
+        # -frame commits (streaming reload paths that want shape stability
+        # ACROSS commits), an int pads to that slot count, False disables.
+        pad = self.pad_slots
+        if pad is None:
+            pad = len(self.volume.grids) > 1
+        density_bricks, emission_bricks = [], []
         for frame in self.volume.grids:
-            density = to_brick_grid(frame["density"])
-            self._density_grids.append(
-                dscene.upload_grid(density, self.volume.transform, pad_slots=pad)
-            )
+            density_bricks.append(to_brick_grid(frame["density"]))
             emission = None
             for name in EMISSION_GRID_NAMES:
                 if name in frame:
                     emission = frame[name]
                     break
+            emission_bricks.append(
+                None if emission is None else to_brick_grid(emission)
+            )
             if emission is not None:
-                ebrick = to_brick_grid(emission)
-                self._emission_grids.append(
-                    dscene.upload_grid(ebrick, self.volume.transform, pad_slots=pad)
-                )
                 self._majorant_emission = max(
                     self._majorant_emission, emission.minorant_majorant()[1]
+                )
+
+        def bucket_of(bricks):
+            n = max(b.atlas.shape[0] for b in bricks)
+            return max(16, 1 << max(0, n - 1).bit_length())
+
+        pad_density = pad_emission = pad
+        if pad is True and len(density_bricks) > 1:
+            pad_density = bucket_of(density_bricks)
+            live = [b for b in emission_bricks if b is not None]
+            pad_emission = bucket_of(live) if live else False
+        for density, ebrick in zip(density_bricks, emission_bricks):
+            self._density_grids.append(
+                dscene.upload_grid(
+                    density, self.volume.transform, pad_slots=pad_density
+                )
+            )
+            if ebrick is not None:
+                self._emission_grids.append(
+                    dscene.upload_grid(
+                        ebrick, self.volume.transform, pad_slots=pad_emission
+                    )
                 )
 
     def reset(self):
