@@ -79,6 +79,29 @@ def test_sharded_host_matches_single(tiny_scene):
     np.testing.assert_allclose(sharded, single, rtol=1e-6, atol=1e-7)
 
 
+def test_sharded_queue_device_matches_single(tiny_scene):
+    """The production engine's multi-chip form (device_queue under
+    shard_map: shard-local while_loop drain + spp psum merge) matches the
+    single-device device_queue render."""
+    from volren_tpu.ops.worklist import render_wavefront_queue_device
+    from volren_tpu.parallel.sharding import render_sharded_queue_device
+
+    r = tiny_scene
+    scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
+    single = np.asarray(
+        render_wavefront_queue_device(
+            scene, params, cfg, 16, 16, 4, 0, lanes=128, unroll=2
+        )
+    )
+    mesh = make_mesh(n_tiles=4, n_spp=2)
+    sharded = np.asarray(
+        render_sharded_queue_device(
+            scene, params, cfg, 16, 16, 4, 0, mesh, lanes=128, unroll=2
+        )
+    )
+    np.testing.assert_allclose(sharded, single, rtol=3e-6, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_sharded_queue_matches_single(tiny_scene):
     """Work-queue SPMD engine: per-device item queues over (tile x spp)

@@ -235,6 +235,127 @@ def render_sharded_queue(scene, params, cfg, width, height, spp, spp_base,
     return img.reshape(height, width, 4)
 
 
+def render_sharded_queue_device(scene, params, cfg, width, height, spp,
+                                spp_base, mesh: Mesh, lanes=None, csize=None,
+                                k_march=None, unroll=4, test_every=None):
+    """The production engine (device_queue) across ``mesh``: each device
+    runs the WHOLE work-queue render for its (row band x spp batch) as one
+    on-device lax.while_loop inside shard_map — the multi-chip form of
+    ops.worklist.render_wavefront_queue_device and the scaling path for
+    the TPU default engine (SURVEY 2c).
+
+    The while_loop cond is shard-LOCAL (each queue drains independently;
+    no collectives inside the loop, so shards never wait on each other's
+    stragglers), and the spp-axis accumulator merge is an ICI psum in a
+    second tiny shard_mapped program. Per-(pixel, sample) TEA seeds make
+    the sample set identical to the single-device engines; per-pixel sums
+    reduce in fixed (spp shard, chunk) order."""
+    from ..ops import megakernel as M
+    from ..ops import worklist as W
+
+    n_tiles = mesh.shape["tiles"]
+    n_spp = mesh.shape["spp"]
+    n_dev = n_tiles * n_spp
+    assert height % n_tiles == 0, f"height {height} not divisible by {n_tiles} tiles"
+    assert spp % n_spp == 0, f"spp {spp} not divisible by {n_spp} spp shards"
+    rows = height // n_tiles
+    local_spp = spp // n_spp
+    csize = local_spp if csize is None else min(int(csize), local_spp)
+    n_chunks = -(-local_spp // csize)
+    n_pix_local = width * rows
+    n_items_local = n_pix_local * n_chunks
+    if lanes is None:
+        # same sizing rule as the single-device engine (worklist.py): with
+        # zero per-step dispatch cost small lane arrays win
+        lanes = min(32768, max(4096, -(-n_items_local // 128 // 128) * 128))
+        lanes = min(-(-n_items_local // 128) * 128, lanes)
+    if k_march is None:
+        k_march = M._default_k_march()
+    if test_every is None:
+        test_every = 4 if lanes <= 4096 else M.DEFAULT_TEST_EVERY
+
+    lane_spec = P(("spp", "tiles"))
+    shard1 = NamedSharding(mesh, lane_spec)
+    shard2 = NamedSharding(mesh, P(("spp", "tiles"), None))
+    repl = NamedSharding(mesh, P())
+
+    state = W.init_queue_state(lanes * n_dev)
+    state = {k: jax.device_put(v, shard2 if v.ndim == 2 else shard1)
+             for k, v in state.items()}
+    fb = jax.device_put(jnp.zeros((n_items_local * n_dev, 4), jnp.float32), shard2)
+    cursor = jax.device_put(jnp.zeros((8 * n_dev,), jnp.int32), shard1)
+    scene = jax.device_put(scene, repl)
+    params = jax.device_put(params, repl)
+    spp_base = jnp.asarray(spp_base, jnp.int32)
+
+    def device_queue(state, fb, cursor, scene, params, spp_base):
+        row0 = lax.axis_index("tiles") * rows
+        sppb = lax.axis_index("spp").astype(jnp.int32) * local_spp + spp_base
+        max_iters = (
+            (jnp.int32(4096) + jnp.int32(512) * jnp.int32(csize))
+            * (jnp.maximum(params.bounces, 32) // 32 + 1)
+            * jnp.int32(n_items_local // lanes + 2)
+        )
+
+        def cond(c):
+            s, fb_, cur, it = c
+            return ((s["mode"] != M.MODE_INACTIVE).any()) & (it < max_iters)
+
+        def body(c):
+            s, fb_, cur, it = c
+            for i in range(unroll):
+                alt = (i % 2 == 1) or unroll == 1
+                s, fb_, cur = W.step_body_queue(
+                    s, fb_, cur, scene, params, cfg, width, height,
+                    n_chunks, csize, local_spp, sppb, k_march,
+                    do_escape=alt, test_every=test_every, do_nee=alt,
+                    row0=row0,
+                )
+            return s, fb_, cur, it + unroll
+
+        state, fb, cursor, it = lax.while_loop(
+            cond, body, (state, fb, cursor, jnp.int32(0))
+        )
+        return fb, jnp.broadcast_to(it, (8,))
+
+    run_fn = jax.jit(
+        jax.shard_map(
+            device_queue,
+            mesh=mesh,
+            in_specs=(lane_spec, lane_spec, lane_spec, P(), P(), P()),
+            out_specs=(lane_spec, lane_spec),
+            check_vma=False,
+        )
+    )
+    fb, _it = run_fn(state, fb, cursor, scene, params, spp_base)
+
+    if n_spp > 1:
+        # merge sample batches across the spp axis with an ICI psum; every
+        # spp replica then holds the merged per-item sums for its tile band
+        def merge(fb):
+            return lax.psum(fb, "spp")
+
+        merge_fn = jax.jit(
+            jax.shard_map(
+                merge, mesh=mesh, in_specs=(lane_spec,), out_specs=lane_spec,
+                check_vma=False,
+            )
+        )
+        fb = merge_fn(fb)
+        img = (
+            np.asarray(fb)
+            .reshape(n_spp, n_tiles, n_pix_local, n_chunks, 4)[0]
+            .sum(axis=2)
+        )
+    else:
+        img = (
+            np.asarray(fb)
+            .reshape(n_tiles, n_pix_local, n_chunks, 4)
+            .sum(axis=2)
+        )
+    return img.reshape(height, width, 4)
+
+
 def render_sharded_host(scene, params, cfg, width, height, spp, spp_base, mesh: Mesh, **kw):
     """Host-stepped multi-device render: the wavefront state is sharded row-wise
     over the mesh's 'tiles' axis and every phase program runs SPMD (scene

@@ -293,7 +293,24 @@ class Renderer:
                     "for the global-majorant estimators"
                 )
             if self.mesh is not None:
-                if self.step_engine == "queue":
+                if self.step_engine == "device_queue":
+                    # the production engine's multi-chip form: one on-device
+                    # while_loop queue per shard, ICI psum merge over spp
+                    from .parallel.sharding import render_sharded_queue_device
+
+                    accum = render_sharded_queue_device(
+                        self._scene_device(),
+                        self._trace_params(),
+                        self._config(),
+                        self._width,
+                        self._height,
+                        int(spp),
+                        self.sample,
+                        self.mesh,
+                        lanes=self.queue_lanes,
+                        csize=self.queue_csize,
+                    )
+                elif self.step_engine == "queue":
                     from .parallel.sharding import render_sharded_queue
 
                     accum = render_sharded_queue(
