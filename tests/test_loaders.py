@@ -23,6 +23,57 @@ def test_vdb_roundtrip(tmp_path):
     np.testing.assert_allclose(g.transform, t, atol=1e-6)
 
 
+def test_blosc_codec_roundtrip():
+    """Pure-python Blosc1/LZ4 codec: compress -> decompress is identity
+    across split/nosplit, shuffle, incompressible, and empty payloads."""
+    from volren_tpu.voldata import blosc
+
+    rng = np.random.default_rng(7)
+    payloads = [
+        b"",
+        b"abc",
+        np.arange(4096, dtype=np.float32).tobytes(),  # highly compressible
+        rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes(),  # random
+        (rng.random(2048).astype(np.float32) * 0.01).tobytes(),
+    ]
+    for data in payloads:
+        for shuffle in (True, False):
+            for split in (None, True, False):
+                chunk = blosc.compress(data, typesize=4, shuffle=shuffle,
+                                       split=split, blocksize=8192)
+                assert blosc.decompress(chunk) == data
+
+
+def test_lz4_block_edge_cases():
+    from volren_tpu.voldata.blosc import lz4_compress, lz4_decompress
+
+    cases = [
+        b"",
+        b"x" * 4,
+        b"abcd" * 1000,          # long overlapping matches
+        b"ab" * 5000,            # offset < minmatch (overlap copy path)
+        bytes(range(256)) * 17,  # mixed literals/matches
+    ]
+    for data in cases:
+        comp = lz4_compress(data)
+        assert lz4_decompress(comp, len(data)) == data
+
+
+@pytest.mark.parametrize("compression", ["zip", "blosc", "none"])
+def test_vdb_roundtrip_compressions(tmp_path, compression):
+    """write_vdb -> read_vdb across all three value-compression modes —
+    blosc is the stock OpenVDB default for real-world files (VERDICT #7)."""
+    rng = np.random.default_rng(3)
+    dense = (rng.random((12, 19, 9)) * 4).astype(np.float32)
+    dense[dense < 1.0] = 0.0
+    p = str(tmp_path / f"c_{compression}.vdb")
+    write_vdb(p, dense, "density", compression=compression)
+    got = read_vdb(p, "density").to_dense()
+    pad = np.zeros((16, 24, 16), np.float32)
+    pad[:12, :19, :9] = dense
+    np.testing.assert_array_equal(got, pad)
+
+
 def test_vdb_through_volume(tmp_path):
     dense = np.zeros((8, 8, 8), np.float32)
     dense[2:6, 2:6, 2:6] = 3.0
@@ -118,6 +169,11 @@ def _build_min_nvdb(path, codec=0):
     if codec == 1:
         z = zlib.compress(payload)
         payload = struct.pack("<Q", len(z)) + z
+    elif codec == 2:
+        from volren_tpu.voldata import blosc
+
+        c = blosc.compress(payload, typesize=4)
+        payload = struct.pack("<Q", len(c)) + c
 
     name = b"density\x00"
     meta = bytearray(180)
@@ -137,7 +193,7 @@ def _build_min_nvdb(path, codec=0):
     return leaf_vals, mask
 
 
-@pytest.mark.parametrize("codec", [0, 1], ids=["raw", "zip"])
+@pytest.mark.parametrize("codec", [0, 1, 2], ids=["raw", "zip", "blosc"])
 def test_nanovdb_minimal_file(tmp_path, codec):
     from volren_tpu.voldata.nanovdb import read_nanovdb
 

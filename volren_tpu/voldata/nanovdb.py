@@ -14,6 +14,7 @@ import zlib
 
 import numpy as np
 
+from . import blosc
 from .grid import DenseGrid
 
 _MAGIC = 0x304244566F6E614E  # "NanoVDB0"
@@ -73,7 +74,19 @@ def read_nanovdb(path: str, name: str = "density") -> DenseGrid:
             (csize,) = struct.unpack_from("<Q", payload, 0)
             payload = zlib.decompress(payload[8 : 8 + csize])
         elif meta_codec == _CODEC_BLOSC or codec == _CODEC_BLOSC:
-            raise ValueError(f"{path}: blosc-compressed NanoVDB not supported")
+            # blosc framing: u64 compressed size + chunk, repeated until
+            # grid_size bytes are reconstructed (io.h writes one chunk per
+            # <= 2^30 span)
+            parts, pos = [], 0
+            total = 0
+            while total < grid_size and pos < len(payload):
+                (csize,) = struct.unpack_from("<Q", payload, pos)
+                pos += 8
+                part = blosc.decompress(payload[pos : pos + csize])
+                pos += csize
+                parts.append(part)
+                total += len(part)
+            payload = b"".join(parts)
         if grid_type != _GRIDTYPE_FLOAT:
             raise ValueError(f"{path}: only float NanoVDB grids supported (type {grid_type})")
         return _densify_nanovdb_grid(np.frombuffer(payload, np.uint8), index_bbox)

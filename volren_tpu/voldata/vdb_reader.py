@@ -8,8 +8,8 @@ subset needed for volume rendering:
   * file versions >= 220 (OpenVDB 3.x..10.x era files)
   * FloatGrid with the standard 5-4-3 tree (Root -> Internal<5> ->
     Internal<4> -> Leaf<3>), float or half leaf values
-  * compression: NONE and ZIP (blosc-compressed files raise a clear error
-    naming the fix: resave without blosc)
+  * compression: NONE, ZIP, and BLOSC (lz4 + byte-shuffle chunks — the
+    stock OpenVDB default — via the pure-python codec in blosc.py)
   * transforms: UniformScale(Translate)Map, Scale(Translate)Map,
     TranslationMap, AffineMap / identity
 
@@ -25,6 +25,7 @@ import zlib
 
 import numpy as np
 
+from . import blosc
 from .grid import DenseGrid
 
 MAGIC = 0x56444220  # int64 " BDV" little-endian
@@ -160,11 +161,12 @@ def _read_compressed_values(r: _Reader, n_values, dtype, compression, file_versi
 
 def _read_compressed_block(r: _Reader, n_bytes, compression):
     if compression & COMPRESS_BLOSC:
-        raise ValueError(
-            ".vdb uses blosc compression, which is unsupported here — resave "
-            "with ZIP/none compression (e.g. openvdb_print/vdb_tool or "
-            "`vdb.write(..., compression=zip)`)"
-        )
+        # io::bloscFromStream framing: i64 compressed size (<= 0 means the
+        # buffer was stored raw, -size bytes), then one blosc chunk
+        csize = r.i64()
+        if csize <= 0:
+            return r.read(n_bytes)
+        return blosc.decompress(r.read(csize))
     if compression & COMPRESS_ZIP:
         csize = r.i64()
         if csize <= 0:
@@ -390,10 +392,32 @@ def _offset_to_coord(offset: int, dim_log2: int) -> np.ndarray:
 
 
 def write_vdb(path: str, dense_zyx: np.ndarray, name: str = "density",
-              transform: np.ndarray | None = None) -> None:
+              transform: np.ndarray | None = None,
+              compression: str = "zip") -> None:
     """Write a dense (z, y, x) float32 array as a minimal OpenVDB file
-    (file version 220, ZIP value compression, float 5-4-3 tree; all leaves
-    dense, origin at index (0,0,0))."""
+    (file version 220, ZIP or BLOSC value compression, float 5-4-3 tree;
+    all leaves dense, origin at index (0,0,0))."""
+    if compression not in ("zip", "blosc", "none"):
+        raise ValueError(f"compression must be zip/blosc/none, got {compression!r}")
+    file_compression = {
+        "zip": COMPRESS_ZIP,
+        "blosc": COMPRESS_BLOSC,
+        "none": COMPRESS_NONE,
+    }[compression]
+
+    def pack_values(payload: bytes) -> bytes:
+        # io::zipToStream / bloscToStream framing: i64 size + buffer,
+        # negative size = stored raw
+        if compression == "blosc":
+            comp = blosc.compress(payload, typesize=4)
+        elif compression == "zip":
+            comp = zlib.compress(payload)
+        else:
+            return payload  # COMPRESS_NONE: raw values, no size framing
+        if len(comp) >= len(payload):
+            return struct.pack("<q", -len(payload)) + payload
+        return struct.pack("<q", len(comp)) + comp
+
     dense = np.asarray(dense_zyx, np.float32)
     Z, Y, X = dense.shape
     if transform is None:
@@ -418,7 +442,7 @@ def write_vdb(path: str, dense_zyx: np.ndarray, name: str = "density",
     w("<I", 220)  # file version (file-scope compression field era)
     w("<II", 8, 1)  # library version
     w("<B", 1)  # has grid offsets
-    w("<I", COMPRESS_ZIP)  # file-scope compression
+    w("<I", file_compression)  # file-scope compression
     out.extend(b"0" * 36)  # uuid
     w("<I", 0)  # file metadata count
     w("<I", 1)  # grid count
@@ -467,11 +491,8 @@ def write_vdb(path: str, dense_zyx: np.ndarray, name: str = "density",
         return ((x << d) | y) << d | z
 
     def write_tile_values(n):
-        # version 220 < 222: no per-node metadata byte; zip block of n floats
-        payload = np.zeros(n, np.float32).tobytes()
-        comp = zlib.compress(payload)
-        w("<q", len(comp))
-        out.extend(comp)
+        # version 220 < 222: no per-node metadata byte; one value block
+        out.extend(pack_values(np.zeros(n, np.float32).tobytes()))
 
     ordered_leaves = []
     for uo, lowers in upper.items():
@@ -511,9 +532,7 @@ def write_vdb(path: str, dense_zyx: np.ndarray, name: str = "density",
         block[:sz, :sy, :sx] = dense[lz : lz + sz, ly : ly + sy, lx : lx + sx]
         out.extend(b"\xff" * 64)
         payload = block.transpose(2, 1, 0).reshape(-1).tobytes()  # (x,y,z) order
-        comp = zlib.compress(payload)
-        w("<q", len(comp))
-        out.extend(comp)
+        out.extend(pack_values(payload))
     end_pos = len(out)
     struct.pack_into("<qqq", out, offsets_pos, grid_pos, block_pos, end_pos)
     with open(path, "wb") as f:
