@@ -81,7 +81,12 @@ def dequeue_body(s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0,
     i32 = jnp.int32
     n_items = fb.shape[0]
     s = dict(s)
-    need = (s["mode"] == MODE_REGEN) & (s["spp_done"] >= s["spp_lane"])
+    # INACTIVE lanes are claimants too: with gated dequeues (dequeue_every
+    # > 1) a lane that finishes mid-window is flipped INACTIVE by regen
+    # before the next dequeue sees it — it still holds an unflushed item
+    need = (
+        (s["mode"] == MODE_REGEN) | (s["mode"] == MODE_INACTIVE)
+    ) & (s["spp_done"] >= s["spp_lane"])
 
     # flush: each item belongs to exactly one lane ever, so indices are
     # unique among flushing lanes; parked lanes aim at the OOB sentinel
@@ -103,7 +108,9 @@ def dequeue_body(s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0,
     s["sppb_lane"] = jnp.where(have, spp_base + chunk * csize, s["sppb_lane"])
     s["spp_done"] = jnp.where(have, 0, s["spp_done"])
     s["accum"] = jnp.where(have[..., None], 0.0, s["accum"])
-    s["mode"] = jnp.where(need & ~have, MODE_INACTIVE, s["mode"])
+    s["mode"] = jnp.where(
+        have, MODE_REGEN, jnp.where(need & ~have, MODE_INACTIVE, s["mode"])
+    )
     cursor = cursor + (need & have).sum(dtype=i32)
     return s, fb, cursor
 
@@ -111,13 +118,20 @@ def dequeue_body(s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0,
 def step_body_queue(s, fb, cursor, scene, params, cfg, width, full_height,
                     n_chunks, csize, spp, spp_base, k_march,
                     do_escape=True, test_every=None, do_nee=True, row0=0,
-                    col0=0, full_width=None):
+                    col0=0, full_width=None, do_dequeue=True):
     """One work-queue wavefront step: dequeue, then the standard
-    regen -> march -> nee -> finish step with per-lane spp windows."""
+    regen -> march -> nee -> finish step with per-lane spp windows.
+
+    do_dequeue=False skips the claim/flush machinery (its cumsum + item
+    -buffer scatter are a measured ~40% of the full step cost at 16k
+    lanes, probes/results/attrib.jsonl) — lanes that finish while it is
+    off idle INACTIVE until the next dequeuing step, holding their
+    unflushed accumulator (dequeue_body flushes INACTIVE claimants)."""
     full_width = width if full_width is None else full_width
-    s, fb, cursor = dequeue_body(
-        s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0, col0
-    )
+    if do_dequeue:
+        s, fb, cursor = dequeue_body(
+            s, fb, cursor, n_chunks, csize, spp, spp_base, width, row0, col0
+        )
     s = step_body(
         s, scene, params, cfg, full_width, s["spp_lane"], s["sppb_lane"],
         full_height, k_march, do_escape=do_escape, test_every=test_every,
@@ -130,13 +144,14 @@ def step_body_queue(s, fb, cursor, scene, params, cfg, width, full_height,
     jax.jit,
     static_argnames=(
         "cfg", "width", "n_chunks", "csize", "spp",
-        "k_march", "unroll", "test_every",
+        "k_march", "unroll", "test_every", "dequeue_every",
     ),
 )
 def _megastep_queue_jit(state, fb, cursor, scene, params, cfg, width,
                         full_height, n_chunks, csize, spp, spp_base,
                         k_march, unroll, test_every=DEFAULT_TEST_EVERY,
-                        row0=0, col0=0, full_width=None):
+                        row0=0, col0=0, full_width=None, dequeue_every=1):
+    n_items = fb.shape[0]
     for i in range(unroll):
         alt = (i % 2 == 1) or unroll == 1  # see megakernel._megastep_jit
         state, fb, cursor = step_body_queue(
@@ -144,11 +159,28 @@ def _megastep_queue_jit(state, fb, cursor, scene, params, cfg, width,
             n_chunks, csize, spp, spp_base, k_march,
             do_escape=alt, test_every=test_every, do_nee=alt, row0=row0,
             col0=col0, full_width=full_width,
+            do_dequeue=(i % dequeue_every == 0),
         )
+    # activity = live lanes + unclaimed items (with gated dequeues every
+    # lane can be INACTIVE while the queue still holds work)
     n_active = jnp.broadcast_to(
-        (state["mode"] != MODE_INACTIVE).sum(dtype=jnp.int32), (8,)
+        (state["mode"] != MODE_INACTIVE).sum(dtype=jnp.int32)
+        + (jnp.int32(n_items) - cursor[0]),
+        (8,),
     )
     return state, fb, cursor, n_active
+
+
+@partial(jax.jit, static_argnames=("cfg", "width", "n_chunks", "csize", "spp"))
+def _queue_flush_jit(state, fb, cursor, cfg, width, n_chunks, csize, spp,
+                     spp_base, row0, col0):
+    """Final flush: one dequeue pass so items finished in the last gated
+    window (held by INACTIVE lanes) land in the item buffer. cfg rides
+    along only to keep jit cache keys aligned with the step programs."""
+    state, fb, cursor = dequeue_body(
+        state, fb, cursor, n_chunks, csize, spp, spp_base, width, row0, col0
+    )
+    return fb
 
 
 def default_lanes(n_items: int) -> int:
@@ -177,6 +209,7 @@ def render_wavefront_queue(
     test_every=DEFAULT_TEST_EVERY,
     col0=0,
     full_width=None,
+    dequeue_every=1,
 ):
     """Work-queue render (module doc). Returns the (height, width, 4) SUM
     of spp per-sample (L, alpha) values for the tile at (col0, row0) of
@@ -218,7 +251,7 @@ def render_wavefront_queue(
             state, fb, cursor, n_active = _megastep_queue_jit(
                 state, fb, cursor, scene, params, cfg, width, fh,
                 n_chunks, csize, spp, spp_base, k_march, unroll,
-                test_every, row0, col0, fw,
+                test_every, row0, col0, fw, dequeue_every,
             )
         steps += check_every * unroll
         stuck = int(_np.asarray(n_active)[0])
@@ -230,6 +263,11 @@ def render_wavefront_queue(
                 f"({stuck} lanes active, cursor {int(_np.asarray(cursor)[0])}"
                 f"/{n_items})"
             )
+    if dequeue_every > 1:
+        fb = _queue_flush_jit(
+            state, fb, cursor, cfg, width, n_chunks, csize, spp, spp_base,
+            row0, col0,
+        )
     img = fb.reshape(n_pix, n_chunks, 4).sum(axis=1)  # fixed chunk order
     return img.reshape(height, width, 4)
 
@@ -238,20 +276,28 @@ def render_wavefront_queue(
     jax.jit,
     static_argnames=(
         "cfg", "width", "n_chunks", "csize", "spp", "k_march", "unroll",
-        "test_every",
+        "test_every", "dequeue_every",
     ),
 )
 def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
                       full_height, n_chunks, csize, spp, spp_base, k_march,
-                      unroll, test_every, row0, col0, full_width):
+                      unroll, test_every, row0, col0, full_width,
+                      dequeue_every=None):
     """The whole queue render as ONE program: lax.while_loop until every
     item is claimed and every lane drained. Zero host syncs mid-render —
     the measured per-megastep fixed cost (~33 ms/call through the tunnel)
     and per-group activity pull (~25 ms) vanish; the loop cond runs on
     device. ``unroll`` steps run per cond check (inactive lanes no-op, so
-    overshoot past drain is harmless and sample streams stay identical)."""
+    overshoot past drain is harmless and sample streams stay identical).
+
+    Dequeues run once per while-iteration (dequeue_every=unroll): the
+    claim cumsum + item-buffer scatter are ~40% of the full step at 16k
+    lanes (probes/results/attrib.jsonl) and a finished lane idles at most
+    unroll-1 steps of an item that lives for tens-to-hundreds."""
     import jax.lax as lax
 
+    if dequeue_every is None:
+        dequeue_every = unroll
     n_items = fb.shape[0]
     lanes = state["mode"].shape[0]
     max_iters = (
@@ -262,7 +308,8 @@ def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
 
     def cond(c):
         s, fb_, cur, it = c
-        return ((s["mode"] != MODE_INACTIVE).any()) & (it < max_iters)
+        live = (s["mode"] != MODE_INACTIVE).any() | (cur[0] < n_items)
+        return live & (it < max_iters)
 
     def body(c):
         s, fb_, cur, it = c
@@ -273,11 +320,17 @@ def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
                 n_chunks, csize, spp, spp_base, k_march,
                 do_escape=alt, test_every=test_every, do_nee=alt, row0=row0,
                 col0=col0, full_width=full_width,
+                do_dequeue=(i % dequeue_every == 0),
             )
         return s, fb_, cur, it + unroll
 
     state, fb, cursor, it = lax.while_loop(
         cond, body, (state, fb, cursor, jnp.int32(0))
+    )
+    # final flush: items finished inside the last gated window are still
+    # held by INACTIVE lanes
+    state, fb, cursor = dequeue_body(
+        state, fb, cursor, n_chunks, csize, spp, spp_base, width, row0, col0
     )
     return fb, jnp.broadcast_to(it, (8,))
 
@@ -300,6 +353,7 @@ def render_wavefront_queue_device(
     col0=0,
     full_width=None,
     return_steps=False,
+    dequeue_every=None,
 ):
     """Work-queue render as a single device dispatch (persistent-threads
     analogue of the reference's one dispatch_compute per spp,
@@ -340,7 +394,7 @@ def render_wavefront_queue_device(
         jnp.asarray(full_height, jnp.int32), n_chunks, csize, spp,
         jnp.asarray(spp_base, jnp.int32), k_march, int(unroll), test_every,
         jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
-        jnp.asarray(full_width, jnp.int32),
+        jnp.asarray(full_width, jnp.int32), dequeue_every,
     )
     img = fb.reshape(n_pix, n_chunks, 4).sum(axis=1)  # fixed chunk order
     img = img.reshape(height, width, 4)

@@ -299,7 +299,10 @@ def render_sharded_queue_device(scene, params, cfg, width, height, spp,
 
         def cond(c):
             s, fb_, cur, it = c
-            return ((s["mode"] != M.MODE_INACTIVE).any()) & (it < max_iters)
+            live = (s["mode"] != M.MODE_INACTIVE).any() | (
+                cur[0] < n_items_local
+            )
+            return live & (it < max_iters)
 
         def body(c):
             s, fb_, cur, it = c
@@ -309,12 +312,17 @@ def render_sharded_queue_device(scene, params, cfg, width, height, spp,
                     s, fb_, cur, scene, params, cfg, width, height,
                     n_chunks, csize, local_spp, sppb, k_march,
                     do_escape=alt, test_every=test_every, do_nee=alt,
-                    row0=row0,
+                    row0=row0, do_dequeue=(i % unroll == 0),
                 )
             return s, fb_, cur, it + unroll
 
         state, fb, cursor, it = lax.while_loop(
             cond, body, (state, fb, cursor, jnp.int32(0))
+        )
+        # flush items finished inside the final gated window
+        s, fb, cur = W.dequeue_body(
+            state, fb, cursor, n_chunks, csize, local_spp, sppb, width,
+            row0,
         )
         return fb, jnp.broadcast_to(it, (8,))
 
