@@ -94,6 +94,21 @@ elif PART == "1024knobs":
     run(1024, 16, csize=2, unroll=4, lanes=16384, k_march=4, test_every=4)
     run(1024, 16, csize=2, unroll=4, lanes=16384, k_march=4)
     run(1024, 64, csize=2, unroll=4, lanes=16384, test_every=4)
+elif PART == "gate":
+    # dequeue gating A/B + unroll sweep: the claim/flush machinery is
+    # ~0.87 ms/step at 16k lanes (attrib.jsonl) and the while_loop carries
+    # ~2.2 ms/iteration FIXED -> gating pays ~40%/unroll and bigger unroll
+    # divides the fixed cost.
+    run(256, 16, csize=2, unroll=4, lanes=4096, dequeue_every=1)
+    run(256, 16, csize=2, unroll=4, lanes=4096)   # gated (= unroll)
+    run(256, 16, csize=2, unroll=8, lanes=4096)
+    run(256, 16, csize=2, unroll=16, lanes=4096)
+elif PART == "gate1024":
+    run(1024, 16, csize=2, unroll=4, lanes=16384, dequeue_every=1)
+    run(1024, 16, csize=2, unroll=4, lanes=16384)
+    run(1024, 16, csize=2, unroll=8, lanes=16384)
+    run(1024, 16, csize=2, unroll=16, lanes=16384)
+    run(1024, 16, csize=2, unroll=16, lanes=32768)
 elif PART == "256b":
     run(256, 16, csize=2, unroll=4, lanes=2048, test_every=4)
     run(256, 16, csize=2, unroll=4, lanes=4096, test_every=8)

@@ -267,6 +267,25 @@ def test_http_viewer(random_grid16_module):
             urllib.request.urlopen(base + "/set?nope=1", timeout=30).read()
         )
         assert ignored == {}
+        # camera navigation (WASD analogue): pos moves along view dir,
+        # accumulation resets
+        r.render(1)
+        pos0 = np.asarray(r.cam.pos).copy()
+        urllib.request.urlopen(base + "/nav?fwd=1", timeout=30).read()
+        assert r.sample == 0
+        np.testing.assert_allclose(
+            np.asarray(r.cam.pos), pos0 + 0.05 * np.asarray(r.cam.dir),
+            rtol=1e-5,
+        )
+        # mouse look rotates dir but keeps it unit length
+        dir0 = np.asarray(r.cam.dir).copy()
+        urllib.request.urlopen(base + "/look?dx=40&dy=0", timeout=30).read()
+        d = np.asarray(r.cam.dir)
+        assert abs(np.linalg.norm(d) - 1.0) < 1e-5
+        assert np.arccos(np.clip(d @ dir0, -1, 1)) > 0.1
+        # snapshot flag is set for the serve loop to consume
+        urllib.request.urlopen(base + "/snapshot", timeout=30).read()
+        assert v.snapshot_requested
     finally:
         v.stop()
 

@@ -81,7 +81,11 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps, serve_port
     the raw framebuffer at convergence (main.cpp:512-513). Ctrl-C exits.
 
     With serve_port set, a localhost HTTP viewer (live frame + editable
-    parameter panel — the GL-window/ImGui analogue) runs alongside."""
+    parameter panel + WASD/mouse camera — the GL-window/ImGui analogue)
+    runs alongside. The live view then renders at preview resolution
+    (long edge <= 256 px, where the device_queue engine sustains an
+    interactive rate) and the page's "full-res snapshot" button renders
+    one frame at the requested resolution to out_filename."""
     import contextlib
     import time
 
@@ -95,9 +99,19 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps, serve_port
     preview_timer = 0.0
     viewer = None
     lock = contextlib.nullcontext()
+    full_res = renderer.resolution
     if serve_port is not None:
         from .viewer import ViewerServer
 
+        # interactive preview resolution: shrink the long edge to 256
+        w, h = full_res
+        if max(w, h) > 256:
+            scale = 256.0 / max(w, h)
+            renderer.resize(max(16, round(w * scale)), max(16, round(h * scale)))
+            print(
+                f"serving at preview {renderer.resolution[0]}x"
+                f"{renderer.resolution[1]} (full {w}x{h} via /snapshot)"
+            )
         viewer = ViewerServer(renderer, port=serve_port).start()
         lock = viewer.lock
         print(f"viewer: http://127.0.0.1:{viewer.port}/")
@@ -108,6 +122,20 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps, serve_port
                 if watcher.reload_modified_kernels():
                     renderer.reset()
                 reload_timer = time.time()
+            if viewer is not None and viewer.snapshot_requested:
+                viewer.snapshot_requested = False
+                pw, ph = renderer.resolution
+                with lock:
+                    renderer.resize(*full_res)
+                    print(f"\nsnapshot: rendering {full_res[0]}x{full_res[1]}"
+                          f" at {renderer.sppx} spp...")
+                    while renderer.sample < renderer.sppx:
+                        renderer.trace(spp=min(renderer.sppx - renderer.sample, 4))
+                        print(f"snapshot {renderer.sample}/{renderer.sppx}",
+                              end="\r", flush=True)
+                    save_ldr(out_filename, renderer.draw(), flip=True, alpha=True)
+                    print(f"\n{out_filename} written (tonemapped snapshot).")
+                    renderer.resize(pw, ph)
             if animate and time.time() - animation_timer >= 1.0 / animation_fps:
                 renderer.volume.grid_frame_counter = (
                     renderer.volume.grid_frame_counter + 1
@@ -134,9 +162,14 @@ def _interactive_loop(renderer, out_filename, animate, animation_fps, serve_port
                     save_ldr(preview, renderer.draw(), flip=True, alpha=False)
                     preview_timer = time.time()
                 if renderer.sample >= renderer.sppx:
-                    # reference auto-saves the raw (untonemapped) framebuffer
-                    save_ldr(out_filename, np.asarray(renderer.framebuffer()), flip=True, alpha=True)
-                    print(f"\n{out_filename} written.")
+                    if renderer.resolution == full_res:
+                        # reference auto-saves the raw (untonemapped) fb
+                        save_ldr(out_filename, np.asarray(renderer.framebuffer()), flip=True, alpha=True)
+                        print(f"\n{out_filename} written.")
+                    else:
+                        # preview-res serve mode: out_filename is reserved
+                        # for full-res /snapshot renders
+                        print(f"\npreview converged ({renderer.sample} spp).")
             else:
                 time.sleep(0.1)  # 10 fps idle (main.cpp:515)
     except KeyboardInterrupt:
