@@ -14,6 +14,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent CPU compilation cache: compiles are the bulk of the fast
+# tier's wall time; keyed on HLO so it is always safe. Low thresholds so
+# even small test programs persist.
+_cache_dir = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_cpu",
+)
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest
@@ -22,11 +32,26 @@ import pytest
 REFERENCE_DATA = "/root/reference/data"
 
 
+# modules whose tests compile full render programs (tens of seconds of
+# trace+lower each, and the persistent compile cache only skips the XLA
+# stage): these form the mid `render` tier. Three tiers total:
+#   -m fast    unit/property loop, <2 min on this box
+#   -m render  integration renders (engines, sharding, CLI, goldens)
+#   -m slow    heavy equivalence / eager-exactness renders
+_RENDER_MODULES = {
+    "test_integration_smoke", "test_goldens", "test_worklist",
+    "test_sharding", "test_tf_emission", "test_denoiser", "test_cli_volpy",
+    "test_render", "test_scripts", "test_compact",
+}
+
+
 def pytest_collection_modifyitems(items):
-    """Every test not explicitly marked slow is fast: `pytest -m fast` is
-    the sub-minute dev loop, `-m slow` the heavy render tier."""
     for item in items:
-        if item.get_closest_marker("slow") is None:
+        if item.get_closest_marker("slow") is not None:
+            continue
+        if item.module.__name__ in _RENDER_MODULES:
+            item.add_marker(pytest.mark.render)
+        else:
             item.add_marker(pytest.mark.fast)
 
 

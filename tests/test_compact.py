@@ -133,8 +133,11 @@ def _eager_render(scene, params, cfg, w, h, spp, max_steps=6000):
 @pytest.mark.parametrize(
     "divisors,selector",
     [
-        ((4, 4, 4), "block"),
-        ((4, 4, 4), "topk"),
+        # eager renders can't reuse the compilation cache, so the whole
+        # family is slow-tier; test_compacted_render_jit_close is the fast
+        # -tier compaction coverage
+        pytest.param((4, 4, 4), "block", marks=pytest.mark.slow),
+        pytest.param((4, 4, 4), "topk", marks=pytest.mark.slow),
         pytest.param((32, 32, 32), "block", marks=pytest.mark.slow),
         pytest.param((32, 32, 32), "topk", marks=pytest.mark.slow),
     ],

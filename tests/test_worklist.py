@@ -40,9 +40,12 @@ def test_default_lanes():
     assert default_lanes(4096) == 2048  # floor keeps tiny frames one wave
 
 
+@pytest.mark.slow
 def test_queue_bit_identical_eager(small_scene):
     """EXACT semantic identity, free of jit fp-contraction: un-jitted
-    queue steps vs un-jitted fixed-lane steps must agree bit-for-bit."""
+    queue steps vs un-jitted fixed-lane steps must agree bit-for-bit.
+    Slow tier: eager stepping can't reuse the compilation cache;
+    test_queue_matches_chunked is the fast-tier equivalence check."""
     from volren_tpu.ops import megakernel as M
     from volren_tpu.ops import worklist as W
 
