@@ -39,7 +39,14 @@ from volren_tpu.utils.cache import setup_compilation_cache
 
 setup_compilation_cache()
 
-TARGET_SPP_S_1024 = 30.0  # adopted working target, see module docstring
+# Anchor derived in docs/ROOFLINE.md §4: the reference's byte model on a
+# desktop GPU (~500 B HBM traffic per lane-step, ~4.5M lane-steps/spp at
+# 1024²) puts its bandwidth speed-of-light at ~330 spp/s; a SIMT path
+# tracer realizes ~10% on incoherent volumetric work -> ~30 spp/s, which
+# also equals ~8% of the v5e's own HBM roofline (~360 spp/s). So
+# vs_baseline 1.0 = parity with the modeled reference GPU; ~12 would be
+# single-chip speed of light.
+TARGET_SPP_S_1024 = 30.0
 
 BOUNCES = int(os.environ.get("BENCH_BOUNCES", "100"))
 USE_TF = os.environ.get("BENCH_TF", "0") == "1"  # BASELINE config 2 variant
@@ -49,9 +56,11 @@ ENVMAP = os.environ.get(
 )
 # resolution ladder: "res:spp[:engine]" stages, smallest first; the last
 # completed stage wins. engine is a step_engine name, or "auto" = the
-# fastest engine measured so far at any resolution (the default ladder
-# duels chunked vs queue at 256^2, then rides the winner up).
-# Override with e.g. BENCH_STAGES="256:16,1024:32".
+# fastest engine measured so far at any resolution. The default ladder
+# rides device_queue only — it won every recorded duel vs chunked by
+# 5-8x (NOTES.md), and re-measuring the loser cost ~60 s + a compile per
+# run (VERDICT r2 weak #3). Duel explicitly via
+# BENCH_STAGES="256:16:device_queue,256:16:chunked,...".
 
 
 def _parse_stage(s):
@@ -65,7 +74,7 @@ STAGES = [
     _parse_stage(s)
     for s in os.environ.get(
         "BENCH_STAGES",
-        "256:16:device_queue,256:16:chunked,512:16:auto,1024:32:auto",
+        "256:16:device_queue,512:16:device_queue,1024:32:device_queue",
     ).split(",")
 ]
 QUEUE_CSIZE = int(os.environ.get("BENCH_QUEUE_CSIZE", "2"))
