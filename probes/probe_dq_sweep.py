@@ -41,8 +41,8 @@ scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
 spp_base = [0]
 
 
-def run(res, spp, **kw):
-    label = f"{res}^2 spp{spp} " + " ".join(f"{k}={v}" for k, v in kw.items())
+def run(res, spp, cfg=cfg, tag="", **kw):
+    label = f"{res}^2 spp{spp} {tag} " + " ".join(f"{k}={v}" for k, v in kw.items())
     t0 = time.time()
     out = render_wavefront_queue_device(
         scene, params, cfg, res, res, spp, 990_000 + spp_base[0], **kw
@@ -103,6 +103,32 @@ elif PART == "gate":
     run(256, 16, csize=2, unroll=4, lanes=4096)   # gated (= unroll)
     run(256, 16, csize=2, unroll=8, lanes=4096)
     run(256, 16, csize=2, unroll=16, lanes=4096)
+elif PART == "gate2":
+    # post-gating re-sweep at 1024^2 (the old optima were measured with
+    # per-step dequeues): lane count, test_every, csize, NEE frequency
+    run(1024, 16, csize=2, unroll=4, lanes=8192)
+    run(1024, 16, csize=2, unroll=4, lanes=24576)
+    run(1024, 16, csize=2, unroll=4, lanes=32768)
+    run(1024, 16, csize=2, unroll=4, lanes=16384, test_every=4)
+    run(1024, 16, csize=1, unroll=4, lanes=16384)
+    run(1024, 16, csize=2, unroll=4, lanes=16384, nee_every=4)
+elif PART == "gate3":
+    # 256^2 refinements at the gated optimum
+    run(256, 16, csize=2, unroll=4, lanes=4096, test_every=4)
+    run(256, 16, csize=2, unroll=4, lanes=8192)
+    run(256, 16, csize=2, unroll=4, lanes=4096, nee_every=4)
+    run(256, 16, csize=1, unroll=4, lanes=4096)
+elif PART == "compact":
+    # VERDICT r2 #8: retire or redeem lane compaction with ONE device_queue
+    # A/B at its measured-optimal lane counts. Compaction shrinks the
+    # gather-stage domains to the top N/divisor event lanes; the queue
+    # engine already shrinks the whole lane array, so the open question is
+    # whether stage-level compaction stacks on top.
+    run(256, 16, csize=2, unroll=4, lanes=4096, tag="nocompact")
+    cfg_c = cfg._replace(compact_resolve=8, compact_nee=8, compact_escape=8)
+    run(256, 16, cfg=cfg_c, csize=2, unroll=4, lanes=4096, tag="compact8")
+    cfg_c16 = cfg._replace(compact_resolve=16, compact_nee=16, compact_escape=16)
+    run(256, 16, cfg=cfg_c16, csize=2, unroll=4, lanes=4096, tag="compact16")
 elif PART == "gate1024":
     run(1024, 16, csize=2, unroll=4, lanes=16384, dequeue_every=1)
     run(1024, 16, csize=2, unroll=4, lanes=16384)

@@ -276,13 +276,13 @@ def render_wavefront_queue(
     jax.jit,
     static_argnames=(
         "cfg", "width", "n_chunks", "csize", "spp", "k_march", "unroll",
-        "test_every", "dequeue_every",
+        "test_every", "dequeue_every", "nee_every",
     ),
 )
 def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
                       full_height, n_chunks, csize, spp, spp_base, k_march,
                       unroll, test_every, row0, col0, full_width,
-                      dequeue_every=None):
+                      dequeue_every=None, nee_every=2):
     """The whole queue render as ONE program: lax.while_loop until every
     item is claimed and every lane drained. Zero host syncs mid-render —
     the measured per-megastep fixed cost (~33 ms/call through the tunnel)
@@ -314,7 +314,10 @@ def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
     def body(c):
         s, fb_, cur, it = c
         for i in range(unroll):
-            alt = (i % 2 == 1) or unroll == 1  # see _megastep_queue_jit
+            # NEE/escape resolution every nee_every-th step (default every
+            # other — see _megastep_queue_jit): pure scheduling, per-lane
+            # draw order is unchanged (parked lanes just wait longer)
+            alt = (i % nee_every == nee_every - 1) or unroll == 1
             s, fb_, cur = step_body_queue(
                 s, fb_, cur, scene, params, cfg, width, full_height,
                 n_chunks, csize, spp, spp_base, k_march,
@@ -354,6 +357,7 @@ def render_wavefront_queue_device(
     full_width=None,
     return_steps=False,
     dequeue_every=None,
+    nee_every=2,
 ):
     """Work-queue render as a single device dispatch (persistent-threads
     analogue of the reference's one dispatch_compute per spp,
@@ -394,7 +398,7 @@ def render_wavefront_queue_device(
         jnp.asarray(full_height, jnp.int32), n_chunks, csize, spp,
         jnp.asarray(spp_base, jnp.int32), k_march, int(unroll), test_every,
         jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
-        jnp.asarray(full_width, jnp.int32), dequeue_every,
+        jnp.asarray(full_width, jnp.int32), dequeue_every, nee_every,
     )
     img = fb.reshape(n_pix, n_chunks, 4).sum(axis=1)  # fixed chunk order
     img = img.reshape(height, width, 4)
