@@ -158,3 +158,27 @@ def test_buf3d_container():
     buf = Buf3D.from_array(arr)
     assert buf.stride == (4, 3, 2)
     assert buf.n_elements == 24
+
+
+def test_device_decode_matches_host_build(random_grid16):
+    """upload_grid decodes dense/dense_quad ON DEVICE from the u8 atlas
+    (20x less host->device transfer); the decode matches the host numpy
+    build to 1 ULP (XLA contracts min + u8/255*(max-min) into an FMA;
+    exact zeros must stay exact so empty space stays empty)."""
+    from volren_tpu.ops.scene import _build_dense_tables, upload_grid
+    from volren_tpu.voldata.brick import build_brick_grid
+
+    bg = build_brick_grid(random_grid16)
+    dev = upload_grid(bg, np.eye(4, dtype=np.float32))
+    host = _build_dense_tables(bg)
+    assert dev.dense is not None and dev.dense_quad is not None
+    d, h = np.asarray(dev.dense), np.asarray(host["dense"])
+    np.testing.assert_allclose(d, h, rtol=3e-7, atol=0)
+    np.testing.assert_array_equal(d == 0.0, h == 0.0)
+    np.testing.assert_allclose(
+        np.asarray(dev.dense_quad), np.asarray(host["dense_quad"]),
+        rtol=3e-7, atol=0,
+    )
+    # padded slot axis must not change the decode at all
+    dev_p = upload_grid(bg, np.eye(4, dtype=np.float32), pad_slots=True)
+    np.testing.assert_array_equal(np.asarray(dev_p.dense), np.asarray(dev.dense))

@@ -11,8 +11,10 @@ scalars — camera, scales, bounds). Brick-grid arrays use a flat-slot atlas
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -233,15 +235,69 @@ def upload_grid(
     mip_maj = np.concatenate([m.reshape(-1) for m in maj_levels])
     from .gather import pack_onehot_table
 
+    atlas_dev = jnp.asarray(atlas)
+    meta_dev = jnp.asarray(meta)
     return GridDevice(
-        brick_meta=jnp.asarray(meta),
+        brick_meta=meta_dev,
         mip_maj=jnp.asarray(mip_maj.astype(np.float32)),
-        atlas=jnp.asarray(atlas),
+        atlas=atlas_dev,
         transform=jnp.asarray(t.astype(np.float32)),
         inv_transform=jnp.asarray(inv.astype(np.float32)),
         mip_maj_oh=pack_onehot_table(mip_maj, round_up=True),
-        **_build_dense_tables(brick_grid),
+        **_dense_tables(brick_grid, atlas_dev, meta_dev),
     )
+
+
+def _dense_tables(brick_grid, atlas_dev, meta_dev):
+    """dense / dense_quad, decoded ON DEVICE from the already-uploaded u8
+    atlas + brick meta (VOLREN_HOST_DECODE=1 reverts to the host build).
+
+    The decoded tables are 4 B + 16 B per voxel while the atlas is 1 B per
+    OCCUPIED voxel: shipping only the atlas cuts commit()'s host->device
+    volume ~20x, which dominates animation cold-reload through the
+    tunneled runtime (probes/results/anim.jsonl measured 12.6 s/frame of
+    commit for a 128³ frame at ~3.5 MB/s effective). The decode arithmetic
+    (min + u8/255 * (max-min), f32) matches the host numpy build to 1 ULP
+    (XLA contracts the mul+add into an FMA — the same contraction the
+    in-kernel decode path for >VOLREN_DENSE_MAX_BYTES volumes gets, so the
+    device decode is the more self-consistent semantics); asserted in
+    tests/test_voldata.py."""
+    bz, by, bx = brick_grid.range.shape[:3]
+    n_vox = (bz * 8) * (by * 8) * (bx * 8)
+    limit = int(os.environ.get("VOLREN_DENSE_MAX_BYTES", str(256 << 20)))
+    if n_vox * 4 > limit:
+        return {}
+    if os.environ.get("VOLREN_HOST_DECODE", "0") == "1":
+        return _build_dense_tables(brick_grid)
+    want_quad = n_vox * 16 <= limit
+    dense, quad = _decode_dense_jit(atlas_dev, meta_dev, bz, by, bx, want_quad)
+    out = {"dense": dense}
+    if want_quad:
+        out["dense_quad"] = quad
+    return out
+
+
+@partial(jax.jit, static_argnames=("bz", "by", "bx", "want_quad"))
+def _decode_dense_jit(atlas_u8, meta, bz, by, bx, want_quad):
+    """Decode the flat dense voxel table (and optionally the trilinear
+    quad rows) from the u8 atlas on device. Indirection slots ride in
+    meta[..., 0] as exact small-int f32."""
+    slots = meta[..., 0].astype(jnp.int32).reshape(-1)
+    rmin = meta[..., 1].reshape(-1)
+    rmax = meta[..., 2].reshape(-1)
+    unorm = atlas_u8.astype(jnp.float32) * jnp.float32(1.0 / 255.0)
+    vals = rmin[:, None] + unorm[slots] * (rmax - rmin)[:, None]
+    vals = vals.reshape(bz, by, bx, 8, 8, 8)
+    dense = vals.transpose(0, 3, 1, 4, 2, 5).reshape(bz * 8, by * 8, bx * 8)
+    quad = None
+    if want_quad:
+        x1 = jnp.minimum(jnp.arange(bx * 8) + 1, bx * 8 - 1)
+        y1 = jnp.minimum(jnp.arange(by * 8) + 1, by * 8 - 1)
+        quad = jnp.stack(
+            [dense, dense[:, :, x1], dense[:, y1], dense[:, y1][:, :, x1]],
+            axis=-1,
+        ).reshape(-1, 4)
+    return dense.reshape(-1), quad
 
 
 def _build_dense_tables(brick_grid):
