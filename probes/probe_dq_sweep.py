@@ -118,17 +118,6 @@ elif PART == "gate3":
     run(256, 16, csize=2, unroll=4, lanes=8192)
     run(256, 16, csize=2, unroll=4, lanes=4096, nee_every=4)
     run(256, 16, csize=1, unroll=4, lanes=4096)
-elif PART == "compact":
-    # VERDICT r2 #8: retire or redeem lane compaction with ONE device_queue
-    # A/B at its measured-optimal lane counts. Compaction shrinks the
-    # gather-stage domains to the top N/divisor event lanes; the queue
-    # engine already shrinks the whole lane array, so the open question is
-    # whether stage-level compaction stacks on top.
-    run(256, 16, csize=2, unroll=4, lanes=4096, tag="nocompact")
-    cfg_c = cfg._replace(compact_resolve=8, compact_nee=8, compact_escape=8)
-    run(256, 16, cfg=cfg_c, csize=2, unroll=4, lanes=4096, tag="compact8")
-    cfg_c16 = cfg._replace(compact_resolve=16, compact_nee=16, compact_escape=16)
-    run(256, 16, cfg=cfg_c16, csize=2, unroll=4, lanes=4096, tag="compact16")
 elif PART == "gate1024":
     run(1024, 16, csize=2, unroll=4, lanes=16384, dequeue_every=1)
     run(1024, 16, csize=2, unroll=4, lanes=16384)

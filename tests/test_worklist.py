@@ -4,7 +4,7 @@ Contracts: csize=spp produces the same per-lane sample streams and
 per-pixel sum order as the fixed-lane engines (exact in eager semantics;
 through jit, programs of different shape differ by ~1 ULP of fp
 contraction — the stock engine shows the same wiggle across unroll
-factors, see tests/test_compact.py); csize<spp equals the sum of
+factors); csize<spp equals the sum of
 per-chunk renders in fixed chunk order; lane-array size never changes
 results."""
 

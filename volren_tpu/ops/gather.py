@@ -90,8 +90,8 @@ def vgather(flat, idx):
 def vscatter_rows(base, idx, rows):
     """base.at[idx].set(rows) with the scatter isolated from fusions.
 
-    ``idx`` must be unique and in bounds (the compaction selector
-    guarantees both). base: (N, C), idx: (K,), rows: (K, C)."""
+    ``idx`` must be unique and in bounds (callers guarantee both).
+    base: (N, C), idx: (K,), rows: (K, C)."""
     (idx, rows) = lax.optimization_barrier((idx, rows))
     out = base.at[idx].set(rows, mode="promise_in_bounds", unique_indices=True)
     (out,) = lax.optimization_barrier((out,))

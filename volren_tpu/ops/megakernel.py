@@ -293,12 +293,14 @@ def _resolve_tests(s, scene, params, cfg):
     """Batched density-test resolve for all EV_TEST lanes (the expensive
     fetches: stochastic-filter atlas decode + emission).
 
-    With cfg.compact_resolve > 1 the fetches run on only the top
-    N/compact_resolve parked lanes (ops/compact.py): EV_TEST fractions
-    measured on real scenes are ~1-3% of lanes per resolve, so fetching
-    for the full domain wastes ~97% of the gather cost. Overflow lanes
-    stay parked for the next resolve — bit-identical output (per-lane rng
-    streams), only the drain length changes."""
+    Stage-level lane compaction used to run here (service only the top-k
+    event lanes); it measured NET NEGATIVE in every regime — fixed-lane
+    engines (NOTES.md round-3 table) AND the device_queue engine
+    (probes/results/compact_ab.jsonl: 69 -> 22 spp/s at divisor 8) — so
+    the plumbing was stripped. The queue engine's small persistent lane
+    array is the load-balancing mechanism that pays; see git history
+    (ops/compact.py) for the compacted form and NOTES.md for the
+    measurements."""
     mode, event, seed = s["mode"], s["event"], s["seed"]
     t, tau, mip = s["t"], s["tau"], s["mip"]
     is_extend = mode == MODE_EXTEND
@@ -306,55 +308,18 @@ def _resolve_tests(s, scene, params, cfg):
     maj = jnp.where(test, tau, 0.0)  # parked majorant
     pos_col = s["ipos0"] + t[..., None] * s["idir"]
 
-    from .compact import budget, compact_apply, col_u32, pack_cols
-
-    k = budget(test.shape[0], cfg.compact_resolve)
-    if k:
-        cols = [pos_col, seed, is_extend]
-        if cfg.has_emission:
-            cols.append(s["throughput"])
-
-        def fetch(rows, m):
-            pos_c = rows[..., 0:3]
-            seed_c = col_u32(rows, 3)
-            ext_c = rows[..., 4] > 0.0
-            d_c, _rgba, seed_c = _density_at(scene, params, cfg, pos_c, seed_c, m)
-            outs = [d_c]
-            if cfg.has_emission:
-                thr_c = rows[..., 5:8]
-                zero3 = jnp.zeros_like(thr_c)
-                contrib_c, seed_c = _add_emission(
-                    scene, params, cfg, pos_c, d_c * params.inv_majorant,
-                    thr_c, zero3, seed_c, m & ext_c,
-                )
-                outs.append(contrib_c)
-            outs += [seed_c, m]
-            return pack_cols(*outs)
-
-        out = compact_apply(test, pack_cols(*cols), fetch, k, cfg.compact_selector)
-        d = out[..., 0]
-        ofs = 1
-        if cfg.has_emission:
-            le = s["L"] + out[..., 1:4]
-            ofs = 4
-        else:
-            le = s["L"]
-        serviced = out[..., ofs + 1] > 0.0
-        seed = jnp.where(serviced, col_u32(out, ofs), seed)
-        test = test & serviced  # overflow lanes keep EV_TEST for next call
-    else:
-        d, _rgba, seed = _density_at(scene, params, cfg, pos_col, seed, test)
-        le, seed = _add_emission(
-            scene,
-            params,
-            cfg,
-            pos_col,
-            d * params.inv_majorant,
-            s["throughput"],
-            s["L"],
-            seed,
-            test & is_extend,
-        )
+    d, _rgba, seed = _density_at(scene, params, cfg, pos_col, seed, test)
+    le, seed = _add_emission(
+        scene,
+        params,
+        cfg,
+        pos_col,
+        d * params.inv_majorant,
+        s["throughput"],
+        s["L"],
+        seed,
+        test & is_extend,
+    )
     seed, u_cls = _rng.rng_masked(seed, test)
     real = test & (u_cls * jnp.maximum(maj, 0.0) < d)
 
@@ -386,69 +351,24 @@ def phase_nee_body(s, scene, params, cfg):
 
     ext_hit = event == EV_EXT_HIT
 
-    from .compact import budget, compact_apply, col_u32, pack_cols
+    if cfg.use_tf:
+        from .grid import lookup_density_trilinear
+        from .transfer import tf_lookup
 
-    k = budget(n, cfg.compact_nee)
-    if k:
-        # compacted fetch core (EV_EXT_HIT fractions are ~0.3-1% of lanes
-        # per step): TF tint rows + rng + alias row on the top-k lanes
-        # only; overflow lanes keep EV_EXT_HIT for a later step.
-        cols = [seed]
-        if cfg.use_tf:
-            cols.append(s["ipos0"] + t[..., None] * s["idir"])
-
-        def fetch(rows, m):
-            seed_c = col_u32(rows, 0)
-            outs = []
-            if cfg.use_tf:
-                from .grid import lookup_density_trilinear
-                from .transfer import tf_lookup
-
-                d_raw = lookup_density_trilinear(
-                    scene.density, rows[..., 1:4], params.density_scale
-                )
-                rgba = tf_lookup(scene.tf, d_raw * params.inv_majorant)
-                outs.append(params.albedo * rgba[..., :3])
-            seed_c, u2n = _rng.rng2_masked(seed_c, m)
-            uvx, uvy, pdf_c, w_i_c, le_texel = sample_environment_alias(scene.env, u2n)
-            if cfg.env_nearest_nee:
-                le_c = scene.env.strength * le_texel
-            else:
-                le_c = scene.env.strength * bilinear_env(scene.env, uvx, uvy)[..., :3]
-            return pack_cols(pdf_c, w_i_c, le_c, *outs, seed_c, m)
-
-        out = compact_apply(ext_hit, pack_cols(*cols), fetch, k, cfg.compact_selector)
-        pdf_nee = out[..., 0]
-        w_i = out[..., 1:4]
-        le = out[..., 4:7]
-        ofs = 7
-        if cfg.use_tf:
-            mult = out[..., 7:10]
-            ofs = 10
-        else:
-            mult = jnp.broadcast_to(params.albedo, (n, 3))
-        serviced = out[..., ofs + 1] > 0.0
-        seed = jnp.where(serviced, col_u32(out, ofs), seed)
-        ext_hit = ext_hit & serviced
+        pos_hit = s["ipos0"] + t[..., None] * s["idir"]
+        d_raw = lookup_density_trilinear(scene.density, pos_hit, params.density_scale)
+        rgba = tf_lookup(scene.tf, d_raw * params.inv_majorant)
+        mult = params.albedo * rgba[..., :3]
     else:
-        if cfg.use_tf:
-            from .grid import lookup_density_trilinear
-            from .transfer import tf_lookup
-
-            pos_hit = s["ipos0"] + t[..., None] * s["idir"]
-            d_raw = lookup_density_trilinear(scene.density, pos_hit, params.density_scale)
-            rgba = tf_lookup(scene.tf, d_raw * params.inv_majorant)
-            mult = params.albedo * rgba[..., :3]
-        else:
-            mult = jnp.broadcast_to(params.albedo, (n, 3))
-        seed, u2n = _rng.rng2_masked(seed, ext_hit)
-        uv_x, uv_y, pdf_nee, w_i, le_texel = sample_environment_alias(scene.env, u2n)
-        if cfg.env_nearest_nee:
-            # radiance rides in the alias row (zero extra gathers; see
-            # TraceConfig.env_nearest_nee for the filtering tradeoff)
-            le = scene.env.strength * le_texel
-        else:
-            le = scene.env.strength * bilinear_env(scene.env, uv_x, uv_y)[..., :3]
+        mult = jnp.broadcast_to(params.albedo, (n, 3))
+    seed, u2n = _rng.rng2_masked(seed, ext_hit)
+    uv_x, uv_y, pdf_nee, w_i, le_texel = sample_environment_alias(scene.env, u2n)
+    if cfg.env_nearest_nee:
+        # radiance rides in the alias row (zero extra gathers; see
+        # TraceConfig.env_nearest_nee for the filtering tradeoff)
+        le = scene.env.strength * le_texel
+    else:
+        le = scene.env.strength * bilinear_env(scene.env, uv_x, uv_y)[..., :3]
 
     throughput = _w3(ext_hit, throughput * mult, throughput)
     p_org = _w3(ext_hit, p_org + t[..., None] * p_dir, p_org)
@@ -505,22 +425,7 @@ def phase_finish_body(s, scene, params, cfg, do_escape=True):
     if do_escape:
         esc = event == EV_EXT_EXIT
         uv_x, uv_y = _dir_to_uv(scene.env.inv_transform, p_dir)
-        from .compact import budget, compact_apply, pack_cols
-
-        k = budget(n, cfg.compact_escape)
-        if k:
-            # compacted env fetch: escape fractions are ~0-2% of lanes per
-            # step after the first-bounce sky burst; overflow lanes keep
-            # EV_EXT_EXIT for a later escape step.
-            def fetch(rows, m):
-                le4 = bilinear_env(scene.env, rows[..., 0], rows[..., 1])
-                return pack_cols(le4[..., :3], m)
-
-            out = compact_apply(esc, pack_cols(uv_x, uv_y), fetch, k, cfg.compact_selector)
-            le_env = scene.env.strength * out[..., 0:3]
-            esc = esc & (out[..., 3] > 0.0)
-        else:
-            le_env = scene.env.strength * bilinear_env(scene.env, uv_x, uv_y)[..., :3]
+        le_env = scene.env.strength * bilinear_env(scene.env, uv_x, uv_y)[..., :3]
         avg_w = scene.env.imp_mips[-1].reshape(())
         pdf_esc = luma(le_env) / avg_w * INV_4PI
         a2 = s["last_f_p"] * s["last_f_p"]

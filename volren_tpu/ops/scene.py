@@ -167,18 +167,10 @@ class TraceConfig(NamedTuple):
     # unbiased wrt the importance-map distribution; output differs from the
     # GLSL reference by the in-texel filter only. Default on for TPU.
     env_nearest_nee: bool = False
-    # lane-compaction budgets (ops/compact.py): service only the top
-    # N/<divisor> event lanes per gather-heavy stage (0/1 = full domain).
-    # ANY budget produces the bit-identical image — overflow lanes are
-    # deferred, and per-lane rng streams make deferral exact; only the
-    # steps-to-drain changes. Tuned on TPU, off for CPU tests by default.
-    compact_resolve: int = 0  # density-test resolve (EV_TEST lanes)
-    compact_nee: int = 0  # NEE alias sample + TF tint (EV_EXT_HIT lanes)
-    compact_escape: int = 0  # escape env fetch (EV_EXT_EXIT lanes)
-    # lane selector for the budgets above: "block" = sort-free strided
-    # block-argmax (default), "topk" = exact priority via lax.top_k (a
-    # sort-network per compacted stage per step — kept for A/B probing)
-    compact_selector: str = "block"
+    # (stage-level lane compaction lived here through round 3; it measured
+    # net-negative in every engine — NOTES.md round-3 verdict,
+    # probes/results/compact_ab.jsonl — and was stripped. The queue
+    # engine's small persistent lane array is the load balancer that pays.)
 
 
 def upload_grid(

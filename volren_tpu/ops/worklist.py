@@ -24,7 +24,7 @@ makes the result independent of WHICH lane runs an item and WHEN:
    the fixed-lane engines (same per-lane streams, same per-pixel sum
    order; exact in eager semantics, and bitwise up to the ~1-ULP fp
    -contraction wiggle jit already shows between program shapes of the
-   stock engine — see tests/test_compact.py).
+   stock engine).
  - csize < spp: chunks of one pixel run on different lanes; per-chunk sums
    are exact and the final per-pixel reduction runs in fixed chunk order —
    deterministic for a given (spp, csize), ULP-different from the fixed
@@ -385,11 +385,11 @@ def render_wavefront_queue_device(
         lanes = min(32768, max(4096, -(-n_items // 128 // 128) * 128))
         lanes = min(-(-n_items // 128) * 128, lanes)
     if test_every is None:
-        # small lane arrays are per-step-op-bound: fewer resolves per step
-        # wins (41.4 vs 29.4 spp/s at 256^2/L=4096). Large arrays are
-        # lane-marginal-bound: parked lanes waste lane cost, resolve often
-        # (te=4 measured 9% SLOWER than 2 at 1024^2/L=16k).
-        test_every = 4 if lanes <= 4096 else DEFAULT_TEST_EVERY
+        # post-gating sweep (probes/results/gate2/gate3.jsonl): te=4 wins
+        # at every lane count once dequeues are gated (1024²/L=16k: 4.2 vs
+        # 3.87 spp/s; 256²/L=4k: 56 vs 52) — fewer resolve phases per step
+        # beats shorter parking now that the queue tax is off the steps.
+        test_every = 4
     state = init_queue_state(lanes)
     fb = jnp.zeros((n_items, 4), jnp.float32)
     cursor = jnp.zeros((8,), jnp.int32)

@@ -272,7 +272,7 @@ def render_sharded_queue_device(scene, params, cfg, width, height, spp,
     if k_march is None:
         k_march = M._default_k_march()
     if test_every is None:
-        test_every = 4 if lanes <= 4096 else M.DEFAULT_TEST_EVERY
+        test_every = 4  # post-gating optimum at every lane count (gate2/3)
 
     lane_spec = P(("spp", "tiles"))
     shard1 = NamedSharding(mesh, lane_spec)

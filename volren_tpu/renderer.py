@@ -89,15 +89,6 @@ class Renderer:
         # None = auto (MXU one-hot majorant gathers on TPU, exact f32
         # scalar gathers elsewhere); True/False forces the path
         self.use_onehot = None
-        # lane-compaction budgets (resolve, nee, escape) as divisors of the
-        # lane count; None = off. Any budget renders the same image (ops/
-        # compact.py deferral semantics) — this only tunes gather cost.
-        # Env override VOLREN_COMPACT="8,16,16" for hardware A/B sweeps.
-        self.compact = None
-        if os.environ.get("VOLREN_COMPACT"):
-            self.compact = tuple(
-                int(v) for v in os.environ["VOLREN_COMPACT"].split(",")
-            )
         # tile-block size for the chunked/queue engines: larger frames
         # render as tile_rows x tile_cols blocks through ONE compiled
         # program (frame dims are dynamic inputs, so the same program also
@@ -251,16 +242,12 @@ class Renderer:
             # round 3; a transient ~20% darkening once seen in megasteps
             # did NOT reproduce — see NOTES.md)
             use_onehot = jax.default_backend() == "tpu"
-        cr, cn, ce = self.compact or (0, 0, 0)
         return TraceConfig(
             use_dda=self._use_dda,
             use_tf=self._tf_device is not None,
             has_emission=has_emission,
             use_onehot=bool(use_onehot),
             env_nearest_nee=bool(use_onehot),
-            compact_resolve=cr,
-            compact_nee=cn,
-            compact_escape=ce,
         )
 
     # ---- rendering ----
