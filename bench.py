@@ -268,7 +268,7 @@ def main():
         r = build(res, engine)
         # warmup/compile with the SAME chunk size the measurement uses —
         # the queue engine compiles per static spp value
-        chunk = max(1, min(8, spp))
+        chunk = max(1, min(16, spp))  # 16 = the device_queue dispatch fence
         t0 = time.time()
         r.render(chunk)
         np.asarray(r.framebuffer())  # PULL: block_until_ready does not
@@ -280,21 +280,31 @@ def main():
         # would replay identical (program, inputs) and the runtime's
         # server-side result cache would fake the rate
         r.reset()
+        import jax.numpy as _jnp
+
         done = 0
         t0 = time.time()
         while done < spp:
             n = min(chunk, spp - done)
             r.trace(n)
-            np.asarray(r.framebuffer())  # PULL (honest timing)
+            # PULL a checksum (honest timing: the scalar depends on every
+            # pixel, so the host wait covers the full render — but costs
+            # 4 B through the ~4 MB/s tunnel instead of the 16 MB
+            # framebuffer, which at 1024^2 was ~30% of measured "render"
+            # time). The full-frame readback is timed once per stage below.
+            np.asarray(_jnp.sum(r.framebuffer()))
             done += n
             _record(res, done, time.time() - t0, compile_s, engine)
             if time.time() > deadline:
                 _emit({"note": "stage truncated by time budget"})
                 return
         dt = time.time() - t0
+        t_pull = time.time()
+        np.asarray(r.framebuffer())  # the once-per-render fbo readback
+        pull_s = time.time() - t_pull
         print(
             f"# stage {res}^2 [{engine}]: {done} spp in {dt:.2f}s = {done/dt:.2f} "
-            f"spp/s (compile+warmup {compile_s:.1f}s)",
+            f"spp/s (compile+warmup {compile_s:.1f}s, fbo pull {pull_s:.2f}s)",
             file=sys.stderr,
             flush=True,
         )

@@ -118,6 +118,12 @@ elif PART == "gate3":
     run(256, 16, csize=2, unroll=4, lanes=8192)
     run(256, 16, csize=2, unroll=4, lanes=4096, nee_every=4)
     run(256, 16, csize=1, unroll=4, lanes=4096)
+elif PART == "gate4":
+    # pick the renderer's auto-lane cap at 1024^2 under the new te=4
+    # default (gate2 measured te4 only at L=16384)
+    run(1024, 16, csize=2, unroll=4, lanes=32768, test_every=4)
+    run(1024, 16, csize=2, unroll=4, lanes=24576, test_every=4)
+    run(1024, 16, csize=2, unroll=4, lanes=16384, test_every=4)
 elif PART == "gate1024":
     run(1024, 16, csize=2, unroll=4, lanes=16384, dequeue_every=1)
     run(1024, 16, csize=2, unroll=4, lanes=16384)
