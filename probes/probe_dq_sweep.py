@@ -66,7 +66,31 @@ def run(res, spp, cfg=cfg, tag="", **kw):
 
 PART = os.environ.get("PROBE_PART", "256")
 
-if PART == "256":
+if PART.startswith("parity"):
+    # the README parity config (dense medium: density 100 ABSOLUTE,
+    # bounces 128, env 3/270°, phase .3, albedo .8) regressed ~60x through
+    # the round-3 engine (probes/results/fault.jsonl vs round-2's 12.5
+    # spp/s @1024² / 44 spp/s @256²); bisect te x dequeue gating on it
+    r.environment.strength = 3.0
+    from volren_tpu.scene.environment import rotation_y
+
+    r.environment.transform = rotation_y(270.0)
+    r.set_environment(r.environment)
+    r.bounces = 128
+    r.albedo = np.array([0.8, 0.8, 0.8], np.float32)
+    r.phase = 0.3
+    r.density_scale = 100.0
+    r.commit()
+    scene, params, cfg = r._scene_device(), r._trace_params(), r._config()
+    if PART == "parity256":
+        run(256, 16, csize=2, unroll=4, lanes=4096, test_every=2,
+            dequeue_every=1, tag="r2-config")
+        run(256, 16, csize=2, unroll=4, lanes=4096, test_every=2,
+            tag="te2-gated")
+        run(256, 16, csize=2, unroll=4, lanes=4096, test_every=4,
+            dequeue_every=1, tag="te4-ungated")
+        run(256, 16, csize=2, unroll=4, lanes=4096, tag="current-default")
+elif PART == "256":
     for L in (4096, 8192, 16384):
         run(256, 16, csize=2, unroll=4, lanes=L)
     run(256, 16, csize=1, unroll=4, lanes=8192)

@@ -84,9 +84,16 @@ def attempt(res, spp, lanes, timeout=2400):
 
 
 if __name__ == "__main__":
-    # ladder up from the known-good point; stop ladder arm on first fault
-    for res, lanes in ((1024, 16384), (1024, 32768), (256, 4096)):
-        for spp in (16, 32, 64, 128):
-            ok = attempt(res, spp, lanes)
-            if not ok:
-                break
+    # ladder up from the known-good point; stop ladder arm on first fault.
+    # FAULT_POINTS="res:spp:lanes,..." overrides (rerun single points).
+    pts = os.environ.get("FAULT_POINTS")
+    if pts:
+        for p in pts.split(","):
+            res, spp, lanes = (int(v) for v in p.split(":"))
+            attempt(res, spp, lanes)
+    else:
+        for res, lanes in ((1024, 16384), (1024, 32768), (256, 4096)):
+            for spp in (16, 32, 64, 128):
+                ok = attempt(res, spp, lanes)
+                if not ok:
+                    break

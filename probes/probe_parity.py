@@ -54,7 +54,7 @@ r.commit()
 t0 = time.time()
 done = 0
 while done < SPP:
-    n = min(16, SPP - done)
+    n = min(64, SPP - done)  # fence raised to 64 (probes/results/fault.jsonl)
     r.trace(n)
     jax.block_until_ready(r.framebuffer())
     done += n

@@ -257,19 +257,24 @@ class Renderer:
         (renderer.cpp:78-145; one GL dispatch = spp=1)."""
         if not self._density_grids:
             self.commit()
-        # bound per-dispatch work for the single-dispatch engine: a 64-spp
-        # parity-config while_loop reproducibly faulted the device
-        # (UNAVAILABLE kernel fault) where 16-spp dispatches of the same
-        # total ran fine; chunking here is semantically identical
-        # (progressive spp_base, accumulation is a running mean)
+        # bound per-dispatch work for the single-dispatch engine. Round 2
+        # saw a 64-spp parity-config while_loop fault the device
+        # (UNAVAILABLE kernel fault) and fenced dispatches at 16 spp; the
+        # round-3 child-process ladder (probes/probe_fault.py, results in
+        # probes/results/fault.jsonl) could NOT reproduce it on the gated
+        # engine — 16/32/64-spp dispatches of the exact faulting config all
+        # completed (rc=0, equal means). The fence is now 64 spp, which also
+        # caps the item buffer at n_pix * (64/csize) * 16 B (512 MB @1024²,
+        # csize 2); chunking stays semantically identical (progressive
+        # spp_base, accumulation is a running mean).
         if (
             self.engine == "wavefront"
             and self.step_engine == "device_queue"
-            and int(spp) > 16
+            and int(spp) > 64
         ):
             done = 0
             while done < int(spp):
-                n = min(16, int(spp) - done)
+                n = min(64, int(spp) - done)
                 self.trace(n)
                 done += n
             return
