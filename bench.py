@@ -74,7 +74,9 @@ STAGES = [
     _parse_stage(s)
     for s in os.environ.get(
         "BENCH_STAGES",
-        "256:16:device_queue,512:16:device_queue,1024:32:device_queue",
+        # enough spp per stage that the measurement window is seconds, not
+        # the ±30% sub-second session noise seen at 256^2/16spp
+        "256:64:device_queue,512:32:device_queue,1024:32:device_queue",
     ).split(",")
 ]
 QUEUE_CSIZE = int(os.environ.get("BENCH_QUEUE_CSIZE", "2"))

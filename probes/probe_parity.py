@@ -20,6 +20,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 if jax.config.jax_compilation_cache_dir is None:
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
@@ -56,7 +57,9 @@ done = 0
 while done < SPP:
     n = min(64, SPP - done)  # fence raised to 64 (probes/results/fault.jsonl)
     r.trace(n)
-    jax.block_until_ready(r.framebuffer())
+    # HONEST pull: block_until_ready does not wait through the tunnel
+    # (NOTES.md trap 2) — a checksum forces completion for 4 B
+    np.asarray(jnp.sum(r.framebuffer()))
     done += n
     print(f"# {done}/{SPP} spp, {done/(time.time()-t0):.3f} spp/s",
           file=sys.stderr, flush=True)
