@@ -142,6 +142,29 @@ elif PART == "gate3":
     run(256, 16, csize=2, unroll=4, lanes=8192)
     run(256, 16, csize=2, unroll=4, lanes=4096, nee_every=4)
     run(256, 16, csize=1, unroll=4, lanes=4096)
+elif PART == "km":
+    # march-group length at the work-bound 1024^2 regime: micro-steps fuse
+    # (floor_chain.jsonl), so longer k_march trades nearly-free micro-steps
+    # for fewer NEE/finish phases per drain; baseline repeated for a noise
+    # reference (the degraded-mode lottery makes single runs +-30%)
+    run(1024, 16, csize=2, unroll=4, lanes=16384, tag="base-k8")
+    run(1024, 16, csize=2, unroll=4, lanes=16384, k_march=16, tag="k16")
+    run(1024, 16, csize=2, unroll=4, lanes=16384, k_march=16, test_every=8,
+        tag="k16te8")
+    run(1024, 16, csize=4, unroll=4, lanes=16384, tag="csize4")
+    run(1024, 16, csize=2, unroll=4, lanes=16384, tag="base-k8-rep")
+elif PART == "pack":
+    # packed while-carry A/B (floor.jsonl: ~0.1 ms per carried buffer per
+    # step; the state dict is ~25 leaves -> packing should cut the
+    # per-step fixed floor several-fold at small lane counts)
+    run(256, 16, csize=2, unroll=4, lanes=4096, tag="packed")
+    run(256, 16, csize=2, unroll=4, lanes=4096, pack_carry=False,
+        tag="unpacked")
+    run(1024, 16, csize=2, unroll=4, lanes=16384, tag="packed")
+    run(1024, 16, csize=2, unroll=4, lanes=16384, pack_carry=False,
+        tag="unpacked")
+    run(1024, 16, csize=2, unroll=4, lanes=4096, tag="packed-L4k")
+    run(1024, 16, csize=2, unroll=2, lanes=16384, tag="packed-u2")
 elif PART == "gate4":
     # pick the renderer's auto-lane cap at 1024^2 under the new te=4
     # default (gate2 measured te4 only at L=16384)

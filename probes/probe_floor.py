@@ -73,7 +73,50 @@ def measure(n_arrays, unroll):
     }), flush=True)
 
 
+@partial(jax.jit, static_argnames=("depth", "unroll", "iters"))
+def run_chain(x, depth, unroll, iters):
+    """One wide (n, 32) array, `depth` DEPENDENT adds per step: XLA fuses
+    the chain into one kernel, so if cost ~ flat in depth the unit of
+    overhead is the KERNEL, not the HLO op."""
+    def cond(c):
+        return c[1] < iters
+
+    def body(c):
+        x, it = c
+        for _ in range(unroll):
+            for _ in range(depth):
+                x = x + 1.0
+        return x, it + unroll
+
+    x, _ = lax.while_loop(cond, body, (x, jnp.int32(0)))
+    return x.sum()
+
+
+def measure_chain(depth, unroll, lanes):
+    x = jnp.zeros((lanes, TOTAL_COLS), jnp.float32)
+    t0 = time.time()
+    np.asarray(run_chain(x, depth, unroll, ITERS))
+    compile_s = time.time() - t0
+    t0 = time.time()
+    v = np.asarray(run_chain(x + 0.5, depth, unroll, ITERS))
+    dt = time.time() - t0
+    print(json.dumps({
+        "probe": "floor", "variant": "chain", "depth": depth,
+        "unroll": unroll, "lanes": lanes, "iters": ITERS,
+        "ms_per_step": round(dt / ITERS * 1e3, 4),
+        "compile_s": round(compile_s, 1), "check": float(v),
+    }), flush=True)
+
+
 if __name__ == "__main__":
-    for n_arrays in (1, 4, 16, 32):
-        for unroll in (4, 16):
-            measure(n_arrays, unroll)
+    which = os.environ.get("FLOOR_WHICH", "arrays")
+    if which == "arrays":
+        for n_arrays in (1, 4, 16, 32):
+            for unroll in (4, 16):
+                measure(n_arrays, unroll)
+    elif which == "chain":
+        # fusion-depth and lane-scaling matrix
+        for depth in (1, 8, 32):
+            measure_chain(depth, 4, LANES)
+        for lanes in (4096, 65536):
+            measure_chain(8, 4, lanes)

@@ -255,3 +255,31 @@ def test_queue_tf_and_emission_paths(small_scene):
     )
     np.testing.assert_allclose(a, b, rtol=3e-6, atol=1e-6)
     assert np.isfinite(b).all() and b[..., :3].mean() > 0.0
+
+
+def test_pack_state_roundtrip_bit_exact():
+    """pack_state/unpack_state must be value-preserving for every dtype in
+    the lane state (f32 concat/slice, u32<->i32 bitcast, bool widening) —
+    the packed while-loop carry must not change a single sample."""
+    from volren_tpu.ops.megakernel import pack_state, unpack_state
+    from volren_tpu.ops.worklist import init_queue_state
+
+    s = init_queue_state(64)
+    rng = np.random.default_rng(2)
+    # non-trivial values incl. negative zero, NaN payloads, full-range u32
+    s["t"] = jnp.asarray(rng.standard_normal(64), jnp.float32)
+    s["p_dir"] = jnp.asarray(rng.standard_normal((64, 3)), jnp.float32)
+    s["t"] = s["t"].at[0].set(-0.0).at[1].set(jnp.nan).at[2].set(jnp.inf)
+    s["seed"] = jnp.asarray(
+        rng.integers(0, 1 << 32, 64, dtype=np.uint64).astype(np.uint32)
+    )
+    s["free"] = jnp.asarray(rng.integers(0, 2, 64).astype(bool))
+    s["mode"] = jnp.asarray(rng.integers(-2, 5, 64, dtype=np.int32))
+    F, I = pack_state(s)
+    assert F.dtype == jnp.float32 and I.dtype == jnp.int32
+    out = unpack_state(F, I, s)
+    assert set(out) == set(s)
+    for k in s:
+        assert out[k].dtype == s[k].dtype and out[k].shape == s[k].shape, k
+        # byte-level equality: exact for NaN payloads and -0.0 too
+        assert np.asarray(out[k]).tobytes() == np.asarray(s[k]).tobytes(), k

@@ -680,6 +680,57 @@ def render_wavefront_host(
 # ----------------------------------------------------------------------------
 
 
+def pack_state(s):
+    """Pack the lane-state dict into two wide carries: (n, Kf) f32 and
+    (n, Ki) i32 (seed bitcast, bool widened).
+
+    The tunneled runtime pays ~0.1 ms PER OUTPUT BUFFER per while-loop
+    step regardless of shape (probes/results/floor.jsonl: 32 arrays of
+    (n,1) cost 30x one (n,32) array at equal bytes), so carrying ~22
+    state leaves costs more than the actual compute. Packing at the
+    while-loop boundary collapses the carry to 2 buffers; the phase
+    bodies stay dict-based (slices of the packed arrays fuse into their
+    consumers). Exact: f32 concat/slice, u32<->i32 bitcast, and bool
+    widening are all value-preserving, so sample streams are unchanged."""
+    fcols, icols = [], []
+    for k in sorted(s):
+        v = s[k]
+        arr = v[:, None] if v.ndim == 1 else v
+        if v.dtype == jnp.float32:
+            fcols.append(arr)
+        elif v.dtype == jnp.uint32:
+            icols.append(lax.bitcast_convert_type(arr, jnp.int32))
+        elif v.dtype == jnp.bool_:
+            icols.append(arr.astype(jnp.int32))
+        else:
+            icols.append(arr.astype(jnp.int32))
+    return jnp.concatenate(fcols, -1), jnp.concatenate(icols, -1)
+
+
+def unpack_state(F, I, template):
+    """Inverse of pack_state; ``template`` supplies names/shapes/dtypes
+    (its VALUES are unused — pass the eager init state)."""
+    s = {}
+    fo = io = 0
+    for k in sorted(template):
+        v = template[k]
+        w = 1 if v.ndim == 1 else v.shape[1]
+        if v.dtype == jnp.float32:
+            col = F[:, fo : fo + w]
+            fo += w
+        else:
+            raw = I[:, io : io + w]
+            io += w
+            if v.dtype == jnp.uint32:
+                col = lax.bitcast_convert_type(raw, jnp.uint32)
+            elif v.dtype == jnp.bool_:
+                col = raw != 0
+            else:
+                col = raw.astype(v.dtype)
+        s[k] = col[:, 0] if v.ndim == 1 else col
+    return s
+
+
 def _tile_loop(state, scene, params, cfg, width, spp, spp_base, full_height, k_march):
     """while_loop over step groups: regen -> K march microsteps -> nee ->
     finish. Per-lane sample streams are independent of k_march (lanes with

@@ -276,13 +276,13 @@ def render_wavefront_queue(
     jax.jit,
     static_argnames=(
         "cfg", "width", "n_chunks", "csize", "spp", "k_march", "unroll",
-        "test_every", "dequeue_every", "nee_every",
+        "test_every", "dequeue_every", "nee_every", "pack_carry",
     ),
 )
 def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
                       full_height, n_chunks, csize, spp, spp_base, k_march,
                       unroll, test_every, row0, col0, full_width,
-                      dequeue_every=None, nee_every=2):
+                      dequeue_every=None, nee_every=2, pack_carry=True):
     """The whole queue render as ONE program: lax.while_loop until every
     item is claimed and every lane drained. Zero host syncs mid-render —
     the measured per-megastep fixed cost (~33 ms/call through the tunnel)
@@ -306,13 +306,9 @@ def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
         * jnp.int32(n_items // lanes + 2)
     )
 
-    def cond(c):
-        s, fb_, cur, it = c
-        live = (s["mode"] != MODE_INACTIVE).any() | (cur[0] < n_items)
-        return live & (it < max_iters)
+    from .megakernel import pack_state, unpack_state
 
-    def body(c):
-        s, fb_, cur, it = c
+    def steps(s, fb_, cur):
         for i in range(unroll):
             # NEE/escape resolution every nee_every-th step (default every
             # other — see _megastep_queue_jit): pure scheduling, per-lane
@@ -325,11 +321,45 @@ def _queue_device_jit(state, fb, cursor, scene, params, cfg, width,
                 col0=col0, full_width=full_width,
                 do_dequeue=(i % dequeue_every == 0),
             )
-        return s, fb_, cur, it + unroll
+        return s, fb_, cur
 
-    state, fb, cursor, it = lax.while_loop(
-        cond, body, (state, fb, cursor, jnp.int32(0))
-    )
+    if pack_carry:
+        # carry the lane state as 2 wide buffers instead of ~25 leaves:
+        # the runtime pays ~0.1 ms per carried buffer per step
+        # (probes/results/floor.jsonl; see megakernel.pack_state)
+        template = state
+        F0, I0 = pack_state(state)
+
+        def cond(c):
+            F, I, fb_, cur, it = c
+            s = unpack_state(F, I, template)  # unused slices DCE away
+            live = (s["mode"] != MODE_INACTIVE).any() | (cur[0] < n_items)
+            return live & (it < max_iters)
+
+        def body(c):
+            F, I, fb_, cur, it = c
+            s, fb_, cur = steps(unpack_state(F, I, template), fb_, cur)
+            F, I = pack_state(s)
+            return F, I, fb_, cur, it + unroll
+
+        F, I, fb, cursor, it = lax.while_loop(
+            cond, body, (F0, I0, fb, cursor, jnp.int32(0))
+        )
+        state = unpack_state(F, I, template)
+    else:
+        def cond(c):
+            s, fb_, cur, it = c
+            live = (s["mode"] != MODE_INACTIVE).any() | (cur[0] < n_items)
+            return live & (it < max_iters)
+
+        def body(c):
+            s, fb_, cur, it = c
+            s, fb_, cur = steps(s, fb_, cur)
+            return s, fb_, cur, it + unroll
+
+        state, fb, cursor, it = lax.while_loop(
+            cond, body, (state, fb, cursor, jnp.int32(0))
+        )
     # final flush: items finished inside the last gated window are still
     # held by INACTIVE lanes
     state, fb, cursor = dequeue_body(
@@ -358,6 +388,7 @@ def render_wavefront_queue_device(
     return_steps=False,
     dequeue_every=None,
     nee_every=2,
+    pack_carry=True,
 ):
     """Work-queue render as a single device dispatch (persistent-threads
     analogue of the reference's one dispatch_compute per spp,
@@ -399,6 +430,7 @@ def render_wavefront_queue_device(
         jnp.asarray(spp_base, jnp.int32), k_march, int(unroll), test_every,
         jnp.asarray(row0, jnp.int32), jnp.asarray(col0, jnp.int32),
         jnp.asarray(full_width, jnp.int32), dequeue_every, nee_every,
+        pack_carry,
     )
     img = fb.reshape(n_pix, n_chunks, 4).sum(axis=1)  # fixed chunk order
     img = img.reshape(height, width, 4)
