@@ -18,14 +18,14 @@ import time
 from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+from volren_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-if jax.config.jax_compilation_cache_dir is None:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 N = int(os.environ.get("PROBE_LANES", str(256 * 256)))
 CHAIN = int(os.environ.get("PROBE_CHAIN", "10"))

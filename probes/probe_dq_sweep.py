@@ -12,14 +12,14 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+from volren_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-if jax.config.jax_compilation_cache_dir is None:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 SEED = int(time.time()) & 0x7FFFFFFF
 
@@ -68,9 +68,10 @@ PART = os.environ.get("PROBE_PART", "256")
 
 if PART.startswith("parity"):
     # the README parity config (dense medium: density 100 ABSOLUTE,
-    # bounces 128, env 3/270°, phase .3, albedo .8) regressed ~60x through
-    # the round-3 engine (probes/results/fault.jsonl vs round-2's 12.5
-    # spp/s @1024² / 44 spp/s @256²); bisect te x dequeue gating on it
+    # bounces 128, env 3/270°, phase .3, albedo .8): te x dequeue-gating
+    # matrix. Result (parity256.jsonl): current defaults are FASTEST here
+    # too (58.8 vs 28.6 spp/s for the round-2 knob set) — the apparent
+    # "60x regression" in fault.jsonl walls was cold compile, not render.
     r.environment.strength = 3.0
     from volren_tpu.scene.environment import rotation_y
 

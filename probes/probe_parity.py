@@ -16,14 +16,14 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+from volren_tpu.utils.cache import setup_compilation_cache
+
+setup_compilation_cache()
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-if jax.config.jax_compilation_cache_dir is None:
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 
 RES = int(os.environ.get("PROBE_RES", "256"))
 SPP = int(os.environ.get("PROBE_SPP", "512"))
