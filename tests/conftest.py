@@ -41,7 +41,7 @@ REFERENCE_DATA = "/root/reference/data"
 _RENDER_MODULES = {
     "test_integration_smoke", "test_goldens", "test_worklist",
     "test_sharding", "test_tf_emission", "test_denoiser", "test_cli_volpy",
-    "test_render", "test_scripts",
+    "test_render", "test_scripts", "test_pallas",
 }
 
 

@@ -1,0 +1,794 @@
+"""The Pallas megakernel: a whole wavefront-render drain as ONE TPU op.
+
+Architecture (probes: probes/results/pallas*.jsonl, model:
+docs/ROOFLINE.md):
+
+* The frame is cut into STRIPS of 1024 consecutive flat pixels; the
+  pallas grid walks strips sequentially. Lane state is SoA over (8, 128)
+  blocks — one full vreg per field — lane = pixel (fixed assignment), all
+  ``spp`` samples of a pixel run back-to-back on its lane (the chunked
+  -engine csize=spp semantics, so images match the XLA engines up to fp
+  -contraction divergence).
+* Each strip runs regen -> march(k_march, resolves every test_every) ->
+  nee -> finish steps inside ONE in-kernel while_loop until every lane
+  drains. In-kernel iterations cost ~us (vs ~2.2 ms/iteration for the
+  XLA while_loop through this runtime — the round-3 wall).
+* Random table fetches use a MASK-REDUCE gather from (rows, 128) tables:
+      G[n, j] = T[n, c[j]]          (axis1 tpu.dynamic_gather — exact)
+      out[j]  = sum_n (n == r[j]) * G[n, j]
+  per 128-lane sublane row, scanning the table in 128-row blocks with a
+  data-dependent lax.cond skip per block (a strip's active fetches
+  cluster in a few bricks, so the scan cost tracks REAL work — the
+  SIMT-proportionality the reference gets from divergent warps,
+  shader/pathtracer_brick.glsl:3).
+* The NEE environment sample comes from a pre-drawn alias-sample pool
+  (pack.build_env_pool — unbiased sample reuse); the escape fetch is a
+  STOCHASTIC bilinear tap (one-tap jittered nearest whose expectation is
+  exactly the reference's bilinear filter, same trick as the volume's
+  stochastic filters, common.glsl:221-244).
+
+Semantics mirrored from ops/megakernel.py phase bodies (themselves cited
+to /root/reference/shader/common.glsl:333-501 and pathtracer_brick.glsl);
+per-(pixel, sample) TEA seeding makes every sample's stream independent,
+so the kernel's extra escape-jitter draws only perturb the sample that
+consumes them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pack import (
+    PF_ALBEDO, PF_BB_MAX, PF_BB_MIN, PF_CAM_POS, PF_CAM_XFORM,
+    PF_DENSITY_SCALE, PF_ENV_INV, PF_ENV_STRENGTH, PF_ENV_XFORM, PF_IMP_AVG,
+    PF_INV_MAJORANT, PF_INV_XFORM, PF_MAJORANT, PF_PHASE_G, PF_SHOW_ENV,
+    PF_ZCAM, PI_BOUNCES, PI_HEIGHT, PI_PIX0, PI_SEED, PI_SPP_BASE, PI_WIDTH,
+    POOL_N, PackedScene,
+)
+
+f32 = jnp.float32
+i32 = jnp.int32
+u32 = jnp.uint32
+
+M_PI = 3.14159265358979323846
+INV_4PI = 1.0 / (4.0 * M_PI)
+LANES = (8, 128)
+
+MODE_INACTIVE, MODE_REGEN, MODE_EXTEND, MODE_SHADOW = 0, 1, 2, 3
+EV_NONE, EV_EXT_HIT, EV_EXT_EXIT, EV_SH_HIT, EV_SH_EXIT = 0, 1, 2, 3, 4
+EV_SCATTER, EV_TEST = 5, 6
+
+# state field order (the while-loop carry). 3-vectors are 3 fields.
+STATE_KEYS = (
+    "px", "py", "mode", "event", "seed",
+    "pox", "poy", "poz", "pdx", "pdy", "pdz",
+    "thx", "thy", "thz", "Lx", "Ly", "Lz", "pnx", "pny", "pnz",
+    "n_paths", "last_f_p", "free",
+    "t", "far", "tau", "mip",
+    "ix0", "iy0", "iz0", "idx", "idy", "idz", "rix", "riy", "riz",
+    "accR", "accG", "accB", "accA", "spp_done",
+)
+
+
+# ---------------------------------------------------------------------------
+# rng (ops/rng.py semantics, bit-exact — probes pallas2 Q5)
+# ---------------------------------------------------------------------------
+
+def _tea(v0, v1, rounds=32):
+    def body(_, c):
+        v0, v1, s0 = c
+        s0 = s0 + u32(0x9E3779B9)
+        v0 = v0 + (((v1 << 4) + u32(0xA341316C)) ^ (v1 + s0)
+                   ^ ((v1 >> 5) + u32(0xC8013EA4)))
+        v1 = v1 + (((v0 << 4) + u32(0xAD90777D)) ^ (v0 + s0)
+                   ^ ((v0 >> 5) + u32(0x7E95761E)))
+        return v0, v1, s0
+
+    v0, v1, _ = lax.fori_loop(0, rounds, body,
+                              (v0, v1, jnp.zeros_like(v0)))
+    return v0
+
+
+def _rng(seed, active):
+    new = seed * u32(1664525) + u32(1013904223)
+    uni = (new & u32(0x00FFFFFF)).astype(f32) * f32(1.0 / float(0x01000000))
+    return jnp.where(active, new, seed), uni
+
+
+# ---------------------------------------------------------------------------
+# vec3 helpers on tuples of (8,128)
+# ---------------------------------------------------------------------------
+
+def _w3(m, a, b):
+    return tuple(jnp.where(m, x, y) for x, y in zip(a, b))
+
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _norm3(v, eps=1e-20):
+    inv = 1.0 / jnp.maximum(jnp.sqrt(_dot3(v, v)), eps)
+    return (v[0] * inv, v[1] * inv, v[2] * inv)
+
+
+def _mat3_vec(m, v):
+    """(v @ m.T): out_i = sum_j v_j * m[i, j]; m = 9 scalars row-major."""
+    return (v[0] * m[0] + v[1] * m[1] + v[2] * m[2],
+            v[0] * m[3] + v[1] * m[4] + v[2] * m[5],
+            v[0] * m[6] + v[1] * m[7] + v[2] * m[8])
+
+
+def _luma(c):
+    return (c[0] * f32(0.212671) + c[1] * f32(0.715160)
+            + c[2] * f32(0.072169))
+
+
+def _sanitize(x):
+    return jnp.where(jnp.isfinite(x), x, 0.0)
+
+
+def _align(n, v):
+    """ops/geometry.align (common.glsl:25-33) in SoA form."""
+    cond = jnp.abs(n[0]) > jnp.abs(n[1])
+    inv_xz = 1.0 / jnp.sqrt(jnp.where(cond, n[0] * n[0] + n[2] * n[2],
+                                      n[1] * n[1] + n[2] * n[2]))
+    zero = jnp.zeros_like(n[0])
+    t = (jnp.where(cond, -n[2], zero) * inv_xz,
+         jnp.where(cond, zero, n[2]) * inv_xz,
+         jnp.where(cond, n[0], -n[1]) * inv_xz)
+    b = (n[1] * t[2] - n[2] * t[1],
+         n[2] * t[0] - n[0] * t[2],
+         n[0] * t[1] - n[1] * t[0])
+    out = (v[0] * t[0] + v[1] * b[0] + v[2] * n[0],
+           v[0] * t[1] + v[1] * b[1] + v[2] * n[1],
+           v[0] * t[2] + v[1] * b[2] + v[2] * n[2])
+    return _norm3(out)
+
+
+def _hg_phase(cos_t, g):
+    denom = 1.0 + g * g + 2.0 * g * cos_t
+    return f32(INV_4PI) * (1.0 - g * g) / (
+        denom * jnp.sqrt(jnp.maximum(denom, 1e-12)))
+
+
+def _sample_hg(direction, g, u0, u1):
+    sqr = (1.0 - g * g) / (1.0 - g + 2.0 * g * u0)
+    small = jnp.abs(g) < 1e-4
+    cos_aniso = (1.0 + g * g - sqr * sqr) / (
+        2.0 * jnp.where(small, 1.0, g))
+    cos_t = jnp.where(small, 1.0 - 2.0 * u0, cos_aniso)
+    sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+    phi = f32(2.0 * M_PI) * u1
+    local = (sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t)
+    return _align(direction, local)
+
+
+def _intersect_box(org, direction, bb_min, bb_max):
+    hit = None
+    near = None
+    far = None
+    tmins, tmaxs = [], []
+    for k in range(3):
+        inv = 1.0 / direction[k]
+        lo = (bb_min[k] - org[k]) * inv
+        hi = (bb_max[k] - org[k]) * inv
+        tmins.append(jnp.minimum(lo, hi))
+        tmaxs.append(jnp.maximum(lo, hi))
+    near = jnp.maximum(0.0, jnp.maximum(tmins[0],
+                                        jnp.maximum(tmins[1], tmins[2])))
+    far = jnp.minimum(tmaxs[0], jnp.minimum(tmaxs[1], tmaxs[2]))
+    hit = near <= far
+    return hit, near, far
+
+
+def _xform_point(m16, p):
+    """(4,4) @ point; m16 = 16 scalars row-major."""
+    return (p[0] * m16[0] + p[1] * m16[1] + p[2] * m16[2] + m16[3],
+            p[0] * m16[4] + p[1] * m16[5] + p[2] * m16[6] + m16[7],
+            p[0] * m16[8] + p[1] * m16[9] + p[2] * m16[10] + m16[11])
+
+
+def _xform_vec(m16, v):
+    return (v[0] * m16[0] + v[1] * m16[1] + v[2] * m16[2],
+            v[0] * m16[4] + v[1] * m16[5] + v[2] * m16[6],
+            v[0] * m16[8] + v[1] * m16[9] + v[2] * m16[10])
+
+
+# ---------------------------------------------------------------------------
+# mask-reduce gather
+# ---------------------------------------------------------------------------
+
+def _scan_gather(tabs, r, c, rows, blk=128, skip=True):
+    """out_k[i,j] = tabs[k][r[i,j], c[i,j]] for an (8,128) lane block.
+
+    tabs: list of (rows, 128) refs or values (i32/f32). r MUST be in
+    [0, rows), c in [0, 128). Tables are scanned in ``blk``-row blocks;
+    with ``skip`` each block is guarded by lax.cond on whether any lane
+    of the current sublane row targets it (pure scheduling — results are
+    exact either way)."""
+    dtypes = [t.dtype for t in tabs]
+    n_blocks = -(-rows // blk)
+    out_rows = [[] for _ in tabs]
+    for i in range(8):
+        r_i = r[i:i + 1, :]
+        c_i = c[i:i + 1, :]
+        c_b = jnp.broadcast_to(c_i, (min(blk, rows), 128))
+        accs = tuple(jnp.zeros((1, 128), f32) for _ in tabs)
+
+        def make_block(base_static_rows):
+            rb = base_static_rows
+
+            def block(base, accs):
+                iota_n = (jax.lax.broadcasted_iota(i32, (rb, 128), 0)
+                          + base)
+                rB = jnp.broadcast_to(r_i, (rb, 128))
+                hit = iota_n == rB
+                outs = []
+                for t, acc in zip(tabs, accs):
+                    tb = t[pl.ds(base, rb), :] if hasattr(t, "at") else \
+                        lax.dynamic_slice(t, (base, 0), (rb, 128))
+                    G = jnp.take_along_axis(tb, c_b, axis=1)
+                    v = jnp.sum(jnp.where(hit, G.astype(f32), 0.0),
+                                axis=0, keepdims=True)
+                    outs.append(acc + v)
+                return tuple(outs)
+            return block
+
+        if n_blocks == 1:
+            accs = make_block(rows)(0, accs)
+        else:
+            blk_fn = make_block(blk)
+
+            def body(b, accs):
+                base = b * blk
+                if skip:
+                    in_blk = jnp.any((r_i >= base) & (r_i < base + blk))
+                    return lax.cond(in_blk, lambda a: blk_fn(base, a),
+                                    lambda a: a, accs)
+                return blk_fn(base, accs)
+
+            accs = lax.fori_loop(0, n_blocks, body, accs)
+        for k, acc in enumerate(accs):
+            out_rows[k].append(acc)
+    outs = []
+    for k, dt in enumerate(dtypes):
+        v = jnp.concatenate(out_rows[k], axis=0)
+        outs.append(v.astype(dt) if dt == jnp.int32 else v)
+    return outs
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
+                 skip_blocks):
+    bx, by, bz = meta.n_bricks
+    mip_dims = meta.mip_dims          # ((z,y,x) x 4), level 0 = bricks
+    mip_offsets = meta.mip_offsets
+    EH, EW = meta.env_h, meta.env_w
+    W = width                         # static: px/py need integer div/mod
+
+    def kernel(pf_ref, pi_ref, atlas_ref, mslot_ref, mlo_ref, mhi_ref,
+               mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb,
+               er_tab, eg_tab, eb_tab,
+               or_ref, og_ref, ob_ref, oa_ref):
+        # ---- scalars
+        def pf(k, n=1):
+            if n == 1:
+                return pf_ref[0, k]
+            return tuple(pf_ref[0, k + d] for d in range(n))
+
+        cam_pos = pf(PF_CAM_POS, 3)
+        cam_m = pf(PF_CAM_XFORM, 9)
+        z_cam = pf(PF_ZCAM)
+        bb_min = pf(PF_BB_MIN, 3)
+        bb_max = pf(PF_BB_MAX, 3)
+        majorant = pf(PF_MAJORANT)
+        inv_majorant = pf(PF_INV_MAJORANT)
+        del majorant, inv_majorant  # (TF path only; v1 is no-TF)
+        albedo = pf(PF_ALBEDO, 3)
+        phase_g = pf(PF_PHASE_G)
+        density_scale = pf(PF_DENSITY_SCALE)
+        inv_x = pf(PF_INV_XFORM, 16)
+        env_inv = pf(PF_ENV_INV, 9)
+        env_strength = pf(PF_ENV_STRENGTH)
+        imp_avg = pf(PF_IMP_AVG)
+        show_env = pf(PF_SHOW_ENV) > 0.0
+
+        H = pi_ref[0, PI_HEIGHT]
+        spp_base = pi_ref[0, PI_SPP_BASE]
+        bounces = pi_ref[0, PI_BOUNCES]
+        seed0 = pi_ref[0, PI_SEED].astype(u32)
+        pix0 = pi_ref[0, PI_PIX0]
+
+        strip = pl.program_id(0)
+        lane = (jax.lax.broadcasted_iota(i32, LANES, 0) * 128
+                + jax.lax.broadcasted_iota(i32, LANES, 1))
+        pix = pix0 + strip * 1024 + lane
+        px = pix % W
+        py = pix // W
+
+        # ---- gathers bound to the scene refs
+        def fetch_meta(bidx):
+            s, lo, hi = _scan_gather(
+                [mslot_ref, mlo_ref, mhi_ref], bidx >> 7, bidx & 127,
+                meta.meta_rows, skip=skip_blocks)
+            return s, lo, hi
+
+        def fetch_mip(idx):
+            (v,) = _scan_gather([mip_ref], idx >> 7, idx & 127,
+                                meta.mip_rows, skip=skip_blocks)
+            return v
+
+        def fetch_atlas(slot, voff):
+            g32 = _scan_gather(
+                [atlas_ref], slot, voff >> 2, meta.n_slots,
+                skip=skip_blocks)[0]
+            shift = (voff & 3) * 8
+            return ((g32 >> shift) & 255).astype(f32) * f32(1.0 / 255.0)
+
+        def fetch_env(eidx):
+            return _scan_gather(
+                [er_tab, eg_tab, eb_tab], eidx >> 7, eidx & 127,
+                meta.env_rows, skip=skip_blocks)
+
+        def fetch_pool(pidx):
+            return _scan_gather(
+                [pwx, pwy, pwz, ppdf, pler, pleg, pleb],
+                pidx >> 7, pidx & 127, meta.pool_rows, skip=False)
+
+        # ---- density machinery (ops/grid.py ports)
+        def brick_index(tap):
+            vx = jnp.clip(tap[0].astype(i32), 0, bx * 8 - 1)
+            vy = jnp.clip(tap[1].astype(i32), 0, by * 8 - 1)
+            vz = jnp.clip(tap[2].astype(i32), 0, bz * 8 - 1)
+            bidx = (vz >> 3) * (by * bx) + (vy >> 3) * bx + (vx >> 3)
+            voff = (vz & 7) * 64 + (vy & 7) * 8 + (vx & 7)
+            return bidx, voff
+
+        def lookup_density_brick(tap):
+            bidx, voff = brick_index(tap)
+            slot, lo, hi = fetch_meta(bidx)
+            slot = jnp.clip(slot, 0, meta.n_slots - 1)
+            unorm = fetch_atlas(slot, voff)
+            return lo + unorm * (hi - lo)
+
+        def majorant_at(curr, mip_i):
+            ix = jnp.floor(curr[0]).astype(i32)
+            iy = jnp.floor(curr[1]).astype(i32)
+            iz = jnp.floor(curr[2]).astype(i32)
+            idx = jnp.zeros(LANES, i32)
+            for m in range(4):
+                mz, my, mx = mip_dims[m]
+                bxm = jnp.clip(ix >> (3 + m), 0, mx - 1)
+                bym = jnp.clip(iy >> (3 + m), 0, my - 1)
+                bzm = jnp.clip(iz >> (3 + m), 0, mz - 1)
+                idx_m = mip_offsets[m] + (bzm * my + bym) * mx + bxm
+                idx = jnp.where(mip_i == m, idx_m, idx)
+            return density_scale * fetch_mip(idx)
+
+        def stochastic_tricubic(pos, seed, active):
+            """ops/grid.stochastic_tricubic_filter, SoA."""
+            iip = tuple(jnp.floor(p - 0.5) for p in pos)
+            t = tuple((p - 0.5) - ip for p, ip in zip(pos, iip))
+            w = tuple((1.0 / 6.0) * (-tt * tt * tt + 3.0 * tt * tt
+                                     - 3.0 * tt + 1.0) for tt in t)
+            sum_wt = w
+            idxf = tuple(jnp.zeros(LANES, f32) for _ in range(3))
+            taps = [
+                (1.0, tuple((1.0 / 6.0) * (3 * tt**3 - 6 * tt * tt + 4.0)
+                            for tt in t)),
+                (2.0, tuple((1.0 / 6.0) * (-3 * tt**3 + 3 * tt * tt
+                                           + 3 * tt + 1.0) for tt in t)),
+                (3.0, tuple((1.0 / 6.0) * tt**3 for tt in t)),
+            ]
+            for tap_idx, wv in taps:
+                sum_wt = tuple(a + b for a, b in zip(wv, sum_wt))
+                seed, r1 = _rng(seed, active)
+                seed, r2 = _rng(seed, active)
+                seed, r3 = _rng(seed, active)
+                rs = (r1, r2, r3)
+                idxf = tuple(
+                    jnp.where(rs[k] < wv[k] / jnp.maximum(1e-3, sum_wt[k]),
+                              f32(tap_idx), idxf[k])
+                    for k in range(3))
+            tap = tuple(iip[k] + idxf[k] - 1.0 for k in range(3))
+            return tap, seed
+
+        # ---- ray setup (megakernel._setup_ray)
+        def setup_ray(s, org, direction, mask):
+            hit_box, near, far_new = _intersect_box(org, direction,
+                                                    bb_min, bb_max)
+            ip = _xform_point(inv_x, org)
+            idd = _xform_vec(inv_x, direction)
+            seed, u_tau = _rng(s["seed"], mask & hit_box)
+            s["seed"] = seed
+            s["t"] = jnp.where(mask, near + 1e-6, s["t"])
+            s["far"] = jnp.where(mask, jnp.where(hit_box, far_new, 0.0),
+                                 s["far"])
+            s["tau"] = jnp.where(mask, -jnp.log(1.0 - u_tau), s["tau"])
+            s["mip"] = jnp.where(mask, f32(3.0), s["mip"])
+            for k, n in enumerate(("ix0", "iy0", "iz0")):
+                s[n] = jnp.where(mask, ip[k], s[n])
+            for k, n in enumerate(("idx", "idy", "idz")):
+                s[n] = jnp.where(mask, idd[k], s[n])
+            for k, n in enumerate(("rix", "riy", "riz")):
+                s[n] = jnp.where(mask, 1.0 / idd[k], s[n])
+            return s
+
+        # ---- phases (megakernel.py bodies, SoA)
+        def phase_regen(s):
+            lane_u = s["py"].astype(u32) * u32(W) + s["px"].astype(u32)
+            regen = s["mode"] == MODE_REGEN
+            can = regen & (s["spp_done"] < spp)
+            s["mode"] = jnp.where(regen & ~can, MODE_INACTIVE,
+                                  jnp.where(can, MODE_EXTEND, s["mode"]))
+            sample_idx = (spp_base + s["spp_done"] + 1).astype(u32)
+            fresh = _tea(seed0 * lane_u, sample_idx)
+            s["seed"] = jnp.where(can, fresh, s["seed"])
+            seed, u1 = _rng(s["seed"], can)
+            seed, u2 = _rng(seed, can)
+            s["seed"] = seed
+            wf = f32(W)
+            hf = H.astype(f32)
+            pix_x = (s["px"].astype(f32) + u1 - wf * 0.5) / hf
+            pix_y = (s["py"].astype(f32) + u2 - hf * 0.5) / hf
+            cam_local = (pix_x, pix_y,
+                         jnp.full(LANES, 1.0, f32) * z_cam)
+            nd = _norm3(_mat3_vec(cam_m, _norm3(cam_local)))
+            org = _w3(can, (jnp.full(LANES, 1.0, f32) * cam_pos[0],
+                            jnp.full(LANES, 1.0, f32) * cam_pos[1],
+                            jnp.full(LANES, 1.0, f32) * cam_pos[2]),
+                      (s["pox"], s["poy"], s["poz"]))
+            s["pox"], s["poy"], s["poz"] = org
+            pd = _w3(can, nd, (s["pdx"], s["pdy"], s["pdz"]))
+            s["pdx"], s["pdy"], s["pdz"] = pd
+            one = jnp.ones(LANES, f32)
+            zero = jnp.zeros(LANES, f32)
+            for n, v in (("thx", one), ("thy", one), ("thz", one),
+                         ("Lx", zero), ("Ly", zero), ("Lz", zero),
+                         ("pnx", zero), ("pny", zero), ("pnz", zero)):
+                s[n] = jnp.where(can, v, s[n])
+            s["n_paths"] = jnp.where(can, 0, s["n_paths"])
+            s["last_f_p"] = jnp.where(can, 0.0, s["last_f_p"])
+            s["free"] = jnp.where(can, 1, s["free"])
+            s["event"] = jnp.where(can, EV_NONE, s["event"])
+            return setup_ray(s, org, pd, can)
+
+        def resolve_tests(s):
+            mode, event = s["mode"], s["event"]
+            test = event == EV_TEST
+            is_extend = mode == MODE_EXTEND
+
+            def do(s):
+                s = dict(s)
+                maj = jnp.where(test, s["tau"], 0.0)
+                pos = (s["ix0"] + s["t"] * s["idx"],
+                       s["iy0"] + s["t"] * s["idy"],
+                       s["iz0"] + s["t"] * s["idz"])
+                tap, seed = stochastic_tricubic(pos, s["seed"], test)
+                d = density_scale * lookup_density_brick(tap)
+                seed, u_cls = _rng(seed, test)
+                real = test & (u_cls * jnp.maximum(maj, 0.0) < d)
+                redraw = test & ~real
+                seed, u_tau = _rng(seed, redraw)
+                s["tau"] = jnp.where(redraw, -jnp.log(1.0 - u_tau),
+                                     s["tau"])
+                s["mip"] = jnp.where(redraw,
+                                     jnp.maximum(0.0, s["mip"] - 2.0),
+                                     s["mip"])
+                s["event"] = jnp.where(
+                    real & is_extend, EV_EXT_HIT,
+                    jnp.where(real & ~is_extend, EV_SH_HIT,
+                              jnp.where(redraw, EV_NONE, s["event"])))
+                s["seed"] = seed
+                return s
+
+            return lax.cond(jnp.any(test), do, lambda s: dict(s), s)
+
+        def phase_march(s):
+            for j in range(k_march):
+                march = (((s["mode"] == MODE_EXTEND)
+                          | (s["mode"] == MODE_SHADOW))
+                         & (s["event"] == EV_NONE))
+                is_extend = s["mode"] == MODE_EXTEND
+                curr = (s["ix0"] + s["t"] * s["idx"],
+                        s["iy0"] + s["t"] * s["idy"],
+                        s["iz0"] + s["t"] * s["idz"])
+                mip_i = jnp.round(s["mip"]).astype(i32)
+                maj = majorant_at(curr, mip_i)
+                dim = (8 << mip_i).astype(f32)
+                ri = (s["rix"], s["riy"], s["riz"])
+                dts = []
+                for k in range(3):
+                    offs = jnp.where(ri[k] >= 0.0, dim + 0.5, f32(-0.5))
+                    dts.append((jnp.floor(curr[k] / dim) * dim + offs
+                                - curr[k]) * ri[k])
+                dt = jnp.minimum(dts[0], jnp.minimum(dts[1], dts[2]))
+                t_adv = s["t"] + dt
+                tau_adv = s["tau"] - maj * dt
+                mip_up = jnp.minimum(s["mip"] + 0.25, 3.0)
+                collide = march & (tau_adv <= 0.0)
+                s["t"] = jnp.where(
+                    march,
+                    jnp.where(collide,
+                              t_adv + tau_adv / jnp.maximum(maj, 1e-20),
+                              t_adv),
+                    s["t"])
+                exited = march & (s["t"] >= s["far"])
+                test = collide & ~exited
+                s["tau"] = jnp.where(march & ~collide, tau_adv, s["tau"])
+                s["mip"] = jnp.where(march & ~collide, mip_up, s["mip"])
+                s["tau"] = jnp.where(test, maj, s["tau"])
+                s["mip"] = jnp.where(test, mip_up, s["mip"])
+                s["event"] = jnp.where(
+                    test, EV_TEST,
+                    jnp.where(exited,
+                              jnp.where(is_extend, EV_EXT_EXIT, EV_SH_EXIT),
+                              s["event"]))
+                if (j + 1) % test_every == 0 or j == k_march - 1:
+                    s = resolve_tests(s)
+            return s
+
+        def phase_nee(s):
+            ext_hit = s["event"] == EV_EXT_HIT
+
+            def do(s):
+                s = dict(s)
+                seed, u0 = _rng(s["seed"], ext_hit)
+                seed, _u1 = _rng(seed, ext_hit)
+                s["seed"] = seed
+                pidx = jnp.clip((u0 * POOL_N).astype(i32), 0, POOL_N - 1)
+                wx, wy, wz, pdf_nee, ler, leg, leb = fetch_pool(pidx)
+                w_i = (wx, wy, wz)
+                le = (ler, leg, leb)
+                thr = (s["thx"] * albedo[0], s["thy"] * albedo[1],
+                       s["thz"] * albedo[2])
+                thr = _w3(ext_hit, thr, (s["thx"], s["thy"], s["thz"]))
+                s["thx"], s["thy"], s["thz"] = thr
+                org = (s["pox"] + s["t"] * s["pdx"],
+                       s["poy"] + s["t"] * s["pdy"],
+                       s["poz"] + s["t"] * s["pdz"])
+                org = _w3(ext_hit, org, (s["pox"], s["poy"], s["poz"]))
+                s["pox"], s["poy"], s["poz"] = org
+                s["n_paths"] = s["n_paths"] + ext_hit.astype(i32)
+                pd = (s["pdx"], s["pdy"], s["pdz"])
+                f_p = _hg_phase(-(pd[0] * w_i[0] + pd[1] * w_i[1]
+                                  + pd[2] * w_i[2]), phase_g)
+                mis = jnp.where(
+                    show_env,
+                    (pdf_nee * pdf_nee)
+                    / jnp.maximum(pdf_nee * pdf_nee + f_p * f_p, 1e-32),
+                    1.0)
+                has_nee = ext_hit & (pdf_nee > 0.0)
+                wgt = mis * f_p / jnp.maximum(pdf_nee, 1e-20)
+                pend = (thr[0] * wgt * le[0], thr[1] * wgt * le[1],
+                        thr[2] * wgt * le[2])
+                pend = _w3(has_nee, pend, (s["pnx"], s["pny"], s["pnz"]))
+                s["pnx"], s["pny"], s["pnz"] = pend
+                s["mode"] = jnp.where(has_nee, MODE_SHADOW, s["mode"])
+                s["event"] = jnp.where(
+                    ext_hit, jnp.where(has_nee, EV_NONE, EV_SCATTER),
+                    s["event"])
+                return setup_ray(s, org, _w3(has_nee, w_i, pd), has_nee)
+
+            return lax.cond(jnp.any(ext_hit), do, lambda s: dict(s), s)
+
+        def phase_finish(s):
+            event = s["event"]
+            sh_hit = event == EV_SH_HIT
+            seed, _u_rr_sh = _rng(s["seed"], sh_hit)
+            sh_vis = event == EV_SH_EXIT
+            L = (s["Lx"] + jnp.where(sh_vis, s["pnx"], 0.0),
+                 s["Ly"] + jnp.where(sh_vis, s["pny"], 0.0),
+                 s["Lz"] + jnp.where(sh_vis, s["pnz"], 0.0))
+            thr = (s["thx"], s["thy"], s["thz"])
+            pd = (s["pdx"], s["pdy"], s["pdz"])
+
+            # escape: STOCHASTIC bilinear environment tap (E = reference
+            # bilinear; jitter draws only touch the escaping sample)
+            esc = event == EV_EXT_EXIT
+            idir = _mat3_vec(env_inv, pd)
+            uu = jnp.arctan2(idir[2], idir[0]) * f32(1.0 / (2.0 * M_PI)) \
+                + 0.5
+            vv = 1.0 - jnp.arccos(jnp.clip(idir[1], -1.0, 1.0)) \
+                * f32(1.0 / M_PI)
+            x = uu * EW - 0.5
+            y = vv * EH - 0.5
+            seed, rx = _rng(seed, esc)
+            seed, ry = _rng(seed, esc)
+            xt = jnp.floor(x + rx).astype(i32)
+            yt = jnp.floor(y + ry).astype(i32)
+            xw = jnp.where(xt < 0, xt + EW, xt)
+            xw = jnp.where(xw >= EW, xw - EW, xw)
+            yc = jnp.clip(yt, 0, EH - 1)
+            eidx = yc * EW + xw
+
+            def esc_fetch(args):
+                L, seed = args
+                er, eg, eb = fetch_env(eidx)
+                le_env = (env_strength * er, env_strength * eg,
+                          env_strength * eb)
+                pdf_esc = _luma(le_env) / imp_avg * f32(INV_4PI)
+                a2 = s["last_f_p"] * s["last_f_p"]
+                mis_esc = jnp.where(
+                    s["n_paths"] > 0,
+                    a2 / jnp.maximum(a2 + pdf_esc * pdf_esc, 1e-32), 1.0)
+                add = esc & (s["free"] != 0) & show_env
+                Lo = tuple(
+                    Lk + jnp.where(add, tk * mis_esc * lek, 0.0)
+                    for Lk, tk, lek in zip(L, thr, le_env))
+                return Lo, seed
+
+            L, seed = lax.cond(jnp.any(esc), esc_fetch,
+                               lambda a: a, (L, seed))
+
+            scatter = sh_hit | sh_vis | (event == EV_SCATTER)
+            capped = scatter & (s["n_paths"] >= bounces)
+            alive = scatter & ~capped
+            rr_val = _luma(thr)
+            rr = alive & (rr_val < 0.1)
+            seed, u_rr = _rng(seed, rr)
+            killed = rr & (u_rr < 1.0 - rr_val)
+            boost = 1.0 / jnp.maximum(rr_val, 1e-20)
+            thr = _w3(rr & ~killed,
+                      (thr[0] * boost, thr[1] * boost, thr[2] * boost),
+                      thr)
+            alive = alive & ~killed
+            s["free"] = jnp.where(capped | killed, 0, s["free"])
+
+            seed, s0 = _rng(seed, alive)
+            seed, s1 = _rng(seed, alive)
+            sc = _sample_hg(pd, phase_g, s0, s1)
+            f_p_sc = _hg_phase(-(pd[0] * sc[0] + pd[1] * sc[1]
+                                 + pd[2] * sc[2]), phase_g)
+            s["last_f_p"] = jnp.where(alive, f_p_sc, s["last_f_p"])
+            pd = _w3(alive, sc, pd)
+            s["pdx"], s["pdy"], s["pdz"] = pd
+
+            end = esc | capped | killed
+            alpha = jnp.clip(s["n_paths"].astype(f32), 0.0, 1.0)
+            sr, sg, sb = (_sanitize(L[0]), _sanitize(L[1]),
+                          _sanitize(L[2]))
+            sa = _sanitize(alpha)
+            endf = end.astype(f32)
+            s["accR"] = s["accR"] + endf * sr
+            s["accG"] = s["accG"] + endf * sg
+            s["accB"] = s["accB"] + endf * sb
+            s["accA"] = s["accA"] + endf * sa
+            s["spp_done"] = s["spp_done"] + end.astype(i32)
+            zero = jnp.zeros(LANES, f32)
+            s["Lx"], s["Ly"], s["Lz"] = _w3(end, (zero, zero, zero), L)
+            s["mode"] = jnp.where(end, MODE_REGEN,
+                                  jnp.where(alive, MODE_EXTEND, s["mode"]))
+            processed = scatter | esc
+            s["event"] = jnp.where(processed, EV_NONE, s["event"])
+            s["seed"] = seed
+            s["thx"], s["thy"], s["thz"] = thr
+            return setup_ray(s, (s["pox"], s["poy"], s["poz"]), pd, alive)
+
+        # ---- init state
+        zero = jnp.zeros(LANES, f32)
+        zeroi = jnp.zeros(LANES, i32)
+        s = {
+            "px": px, "py": py,
+            "mode": jnp.full(LANES, MODE_REGEN, i32),
+            "event": zeroi,
+            "seed": jnp.zeros(LANES, u32),
+            "pox": zero, "poy": zero, "poz": zero,
+            "pdx": zero, "pdy": zero, "pdz": zero + 1.0,
+            "thx": zero, "thy": zero, "thz": zero,
+            "Lx": zero, "Ly": zero, "Lz": zero,
+            "pnx": zero, "pny": zero, "pnz": zero,
+            "n_paths": zeroi, "last_f_p": zero,
+            "free": zeroi,
+            "t": zero, "far": zero, "tau": zero, "mip": zero,
+            "ix0": zero, "iy0": zero, "iz0": zero,
+            "idx": zero, "idy": zero, "idz": zero + 1.0,
+            "rix": zero, "riy": zero, "riz": zero + 1.0,
+            "accR": zero, "accG": zero, "accB": zero, "accA": zero,
+            "spp_done": zeroi,
+        }
+
+        def step(s):
+            s = phase_regen(s)
+            s = phase_march(s)
+            s = phase_nee(s)
+            s = phase_finish(s)
+            return s
+
+        def cond(c):
+            it = c[0]
+            mode = c[1 + STATE_KEYS.index("mode")]
+            return jnp.any(mode != MODE_INACTIVE) & (it[0, 0] < max_iters)
+
+        def body(c):
+            it = c[0]
+            s = dict(zip(STATE_KEYS, c[1:]))
+            for _ in range(unroll):
+                s = step(s)
+            return (it + unroll,) + tuple(s[k] for k in STATE_KEYS)
+
+        init = (jnp.zeros((1, 1), i32),) + tuple(
+            s[k] for k in STATE_KEYS)
+        out = lax.while_loop(cond, body, init)
+        s = dict(zip(STATE_KEYS, out[1:]))
+        or_ref[:] = s["accR"]
+        og_ref[:] = s["accG"]
+        ob_ref[:] = s["accB"]
+        oa_ref[:] = s["accA"]
+
+    return kernel
+
+
+@partial(
+    jax.jit,
+    static_argnames=("meta", "width", "n_strips", "spp", "k_march",
+                     "test_every", "unroll", "skip_blocks", "interpret"),
+)
+def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
+                       spp, k_march, test_every, unroll, skip_blocks,
+                       interpret):
+    max_iters = (2048 + 512 * spp) * 8
+    kernel = _make_kernel(meta, width, spp, k_march, test_every, unroll,
+                          max_iters, skip_blocks)
+
+    n_tabs = 5 + 7 + 3  # scene tables + pool + env channels
+    out_shape = [jax.ShapeDtypeStruct((n_strips * 8, 128), f32)
+                 for _ in range(4)]
+    out_specs = [pl.BlockSpec((8, 128), lambda k: (k, 0),
+                              memory_space=pltpu.VMEM) for _ in range(4)]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_tabs
+    )
+
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(n_strips,),
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        interpret=interpret,
+        **kwargs,
+    )(pf, pi, tabs["atlas_p"], tabs["meta_slot"], tabs["meta_lo"],
+      tabs["meta_hi"], tabs["mip_maj"],
+      pool["wx"], pool["wy"], pool["wz"], pool["pdf"],
+      pool["ler"], pool["leg"], pool["leb"],
+      tabs["env_r"], tabs["env_g"], tabs["env_b"])
+    r, g, b, a = outs
+    n_pix = n_strips * 1024
+    return jnp.stack(
+        [r.reshape(n_pix), g.reshape(n_pix), b.reshape(n_pix),
+         a.reshape(n_pix)], axis=-1)
+
+
+def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
+                  k_march=8, test_every=4, unroll=2, skip_blocks=True,
+                  interpret=None):
+    """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
+    ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
+    per-pixel SUM of per-sample (L, alpha). Samples are the
+    chunked-engine csize=spp streams (module doc)."""
+    if n_pix % 1024:
+        raise ValueError("pallas engine needs n_pix % 1024 == 0")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tabs = {k: v for k, v in packed._asdict().items() if k != "meta"}
+    return _render_strips_jit(
+        tabs, pool, pf, pi, packed.meta, int(width), n_pix // 1024,
+        int(spp), int(k_march), int(test_every), int(unroll),
+        bool(skip_blocks), bool(interpret))

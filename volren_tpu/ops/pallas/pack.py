@@ -1,0 +1,221 @@
+"""Kernel-side scene packing for the Pallas megakernel engine.
+
+The Mosaic gather toolkit (probes/results/pallas3/4.jsonl) fetches from
+(R, 128) tables: within-128-lane `dynamic_gather` shuffles plus a
+mask-reduce row scan (kernel.py). Every scene table is therefore packed
+into (rows, 128) form here, ONCE per commit, on device (jnp ops — no
+host round-trip):
+
+  atlas_p   (S, 128) i32   512 u8 voxels per brick slot, 4-packed LE
+  meta_*    (Bp, 128)      brick indirection slot / range-min / range-max
+  mip_maj   (Mp, 128) f32  flat majorant pyramid (levels 0..3)
+  env_*     (Ep, 128) f32  flat equirect envmap channels (v-order rows)
+
+Scalar (per-dispatch) parameters ride in two rows built per trace call by
+`build_params_rows`: pf (1, 128) f32 and pi (1, 16) i32 — see the PF_* /
+PI_* index constants.
+
+The NEE environment sample rides in a POOL (build_env_pool): M
+importance-distributed samples drawn OUTSIDE the kernel through the exact
+alias-table sampler (ops.envmap.sample_environment_alias); in-kernel a
+lane draws one uniform and picks a pool row. The pool is i.i.d. from the
+same texel distribution, so the estimator is unbiased — reuse across
+lanes only correlates samples (standard sample-reuse; noise at the
+measured pool size is far below path-tracing noise). This replaces a
+262144-row alias-table gather that cannot fit VMEM next to the atlas.
+
+Reference behaviours matched: brick/majorant layout common.glsl:217-328,
+alias NEE distribution common.glsl:100-152 (via the alias-table
+equivalence, scene.build_alias_table).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+# pf (1, 128) f32 slot map
+PF_CAM_POS = 0        # 3
+PF_CAM_XFORM = 3      # 9 row-major (3,3)
+PF_ZCAM = 12          # -0.5 / tan(fov/2)
+PF_BB_MIN = 13        # 3
+PF_BB_MAX = 16        # 3
+PF_MAJORANT = 19
+PF_INV_MAJORANT = 20
+PF_ALBEDO = 21        # 3
+PF_PHASE_G = 24
+PF_DENSITY_SCALE = 25
+PF_INV_XFORM = 26     # 16 row-major (4,4) world->index
+PF_ENV_INV = 42       # 9 row-major (3,3)
+PF_ENV_XFORM = 51     # 9 row-major (3,3)
+PF_ENV_STRENGTH = 60
+PF_IMP_AVG = 61
+PF_SHOW_ENV = 62      # 0.0 / 1.0
+
+# pi (1, 16) i32 slot map
+PI_WIDTH = 0
+PI_HEIGHT = 1
+PI_SPP_BASE = 2
+PI_BOUNCES = 3
+PI_SEED = 4           # uint32 bitcast
+PI_PIX0 = 5           # flat-pixel offset of strip 0 (tile origin)
+
+
+class PackedMeta(NamedTuple):
+    """Static (hashable) shape metadata — jit cache key material."""
+
+    n_bricks: tuple          # (bx, by, bz)
+    mip_dims: tuple          # ((z, y, x) x 4)
+    mip_offsets: tuple       # (4,)
+    n_slots: int             # atlas rows S
+    meta_rows: int           # Bp
+    mip_rows: int            # Mp
+    env_h: int
+    env_w: int
+    env_rows: int            # Ep
+    pool_rows: int           # Pp
+
+
+class PackedScene(NamedTuple):
+    atlas_p: jnp.ndarray     # (S, 128) int32
+    meta_slot: jnp.ndarray   # (Bp, 128) int32
+    meta_lo: jnp.ndarray     # (Bp, 128) float32
+    meta_hi: jnp.ndarray     # (Bp, 128) float32
+    mip_maj: jnp.ndarray     # (Mp, 128) float32
+    env_r: jnp.ndarray       # (Ep, 128) float32
+    env_g: jnp.ndarray
+    env_b: jnp.ndarray
+    meta: PackedMeta
+
+
+def _pad_rows(flat, fill=0):
+    n = flat.shape[0]
+    rows = -(-n // 128)
+    pad = rows * 128 - n
+    if pad:
+        flat = jnp.concatenate(
+            [flat, jnp.full((pad,), fill, flat.dtype)])
+    return flat.reshape(rows, 128)
+
+
+def supports_scene(scene, cfg) -> bool:
+    """v1 kernel scope: brick density grid, no TF, no emission grid, and
+    an atlas that fits VMEM next to the working set."""
+    if cfg.use_tf or cfg.has_emission:
+        return False
+    if scene.emission is not None or scene.tf is not None:
+        return False
+    if scene.density.atlas.shape[0] > 12288:  # 6 MB packed
+        return False
+    return True
+
+
+def pack_scene(scene) -> PackedScene:
+    g = scene.density
+    bx, by, bz = g.n_bricks
+    # --- atlas: (S, 512) u8 -> (S, 128) i32 little-endian
+    a = g.atlas.astype(jnp.int32).reshape(-1, 128, 4)
+    atlas_p = (a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16)
+               | (a[..., 3] << 24))
+    # --- brick meta: (bz, by, bx, 3) -> flat z-major (matches
+    # grid._brick_index: bidx = (vz>>3)*(by*bx) + (vy>>3)*bx + (vx>>3))
+    m = g.brick_meta.reshape(-1, 3)
+    meta_slot = _pad_rows(m[:, 0].astype(jnp.int32))
+    meta_lo = _pad_rows(m[:, 1])
+    meta_hi = _pad_rows(m[:, 2])
+    mip_maj = _pad_rows(g.mip_maj)
+    # --- envmap channels, flat v-order rows (matches envmap._bilinear)
+    e = scene.env.envmap
+    eh, ew = int(e.shape[0]), int(e.shape[1])
+    flat = e.reshape(eh * ew, -1)
+    env_r = _pad_rows(flat[:, 0])
+    env_g = _pad_rows(flat[:, 1])
+    env_b = _pad_rows(flat[:, 2])
+    meta = PackedMeta(
+        n_bricks=(bx, by, bz),
+        mip_dims=tuple(tuple(d) for d in g.mip_dims),
+        mip_offsets=tuple(g.mip_offsets),
+        n_slots=int(atlas_p.shape[0]),
+        meta_rows=int(meta_slot.shape[0]),
+        mip_rows=int(mip_maj.shape[0]),
+        env_h=eh,
+        env_w=ew,
+        env_rows=int(env_r.shape[0]),
+        pool_rows=POOL_N // 128,
+    )
+    return PackedScene(atlas_p, meta_slot, meta_lo, meta_hi, mip_maj,
+                       env_r, env_g, env_b, meta)
+
+
+POOL_N = 16384  # env NEE sample pool size (128 rows)
+
+
+def build_env_pool(scene, seed: int, spp_base: int):
+    """M = POOL_N alias-table env samples as seven (128, 128) f32 tables:
+    w_i xyz, pdf, le rgb. Deterministic in (seed, spp_base) so a render is
+    reproducible; drawn through the exact sampler the XLA engines use."""
+    from ..envmap import sample_environment_alias
+
+    rng = np.random.default_rng((int(seed) * 2654435761 + spp_base) % 2**63)
+    u2 = jnp.asarray(rng.random((POOL_N, 2), np.float32))
+    uv_x, uv_y, pdf, w_i, le_texel = sample_environment_alias(scene.env, u2)
+    le = scene.env.strength * le_texel
+    return {
+        "wx": w_i[:, 0].reshape(128, 128),
+        "wy": w_i[:, 1].reshape(128, 128),
+        "wz": w_i[:, 2].reshape(128, 128),
+        "pdf": pdf.reshape(128, 128),
+        "ler": le[:, 0].reshape(128, 128),
+        "leg": le[:, 1].reshape(128, 128),
+        "leb": le[:, 2].reshape(128, 128),
+    }
+
+
+def build_params_rows(scene, params, width, full_height, spp_base, pix0=0):
+    """(pf (1,128) f32, pi (1,16) i32) for one trace dispatch."""
+    f32 = jnp.float32
+    pf = jnp.zeros((128,), f32)
+
+    def put(off, val):
+        nonlocal pf
+        val = jnp.asarray(val, f32).reshape(-1)
+        return pf.at[off:off + val.shape[0]].set(val)
+
+    pf = put(PF_CAM_POS, params.cam_pos)
+    pf = put(PF_CAM_XFORM, params.cam_transform.reshape(-1))
+    from ..geometry import M_PI
+
+    z_cam = -0.5 / jnp.tan(0.5 * M_PI * params.cam_fov / 180.0)
+    pf = put(PF_ZCAM, z_cam)
+    pf = put(PF_BB_MIN, params.bb_min)
+    pf = put(PF_BB_MAX, params.bb_max)
+    pf = put(PF_MAJORANT, params.majorant)
+    pf = put(PF_INV_MAJORANT, params.inv_majorant)
+    pf = put(PF_ALBEDO, params.albedo)
+    pf = put(PF_PHASE_G, params.phase_g)
+    pf = put(PF_DENSITY_SCALE, params.density_scale)
+    pf = put(PF_INV_XFORM, scene.density.inv_transform.reshape(-1))
+    pf = put(PF_ENV_INV, scene.env.inv_transform.reshape(-1))
+    pf = put(PF_ENV_XFORM, scene.env.transform.reshape(-1))
+    pf = put(PF_ENV_STRENGTH, scene.env.strength)
+    pf = put(PF_IMP_AVG, scene.env.imp_mips[-1].reshape(()))
+    pf = put(PF_SHOW_ENV, params.show_environment.astype(f32))
+
+    pi = jnp.zeros((16,), jnp.int32)
+    pi = pi.at[PI_WIDTH].set(jnp.asarray(width, jnp.int32))
+    pi = pi.at[PI_HEIGHT].set(jnp.asarray(full_height, jnp.int32))
+    pi = pi.at[PI_SPP_BASE].set(jnp.asarray(spp_base, jnp.int32))
+    pi = pi.at[PI_BOUNCES].set(params.bounces.astype(jnp.int32))
+    pi = pi.at[PI_SEED].set(
+        jax_bitcast_u32_i32(params.seed))
+    pi = pi.at[PI_PIX0].set(jnp.asarray(pix0, jnp.int32))
+    return pf.reshape(1, 128), pi.reshape(1, 16)
+
+
+def jax_bitcast_u32_i32(x):
+    import jax
+
+    return jax.lax.bitcast_convert_type(
+        jnp.asarray(x, jnp.uint32), jnp.int32)

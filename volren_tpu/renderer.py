@@ -59,6 +59,7 @@ class Renderer:
         self._height = 1024
         self._fb = None
         self._density_grids = []  # per-frame GridDevice
+        self._pallas_packed = None  # kernel-engine table cache
         self._emission_grids = []
         self._majorant_emission = 0.0
         self._env_device = None
@@ -134,6 +135,7 @@ class Renderer:
         """Convert every animation frame's grids to device brick grids
         (renderer.cpp:56-76)."""
         self._density_grids = []
+        self._pallas_packed = None
         self._emission_grids = []
         self._majorant_emission = 0.0
         # animations: pad atlas slot counts so every frame shares one
@@ -252,6 +254,36 @@ class Renderer:
 
     # ---- rendering ----
 
+    def _render_pallas(self, spp: int):
+        """One dispatch of the Pallas megakernel engine (ops/pallas): the
+        whole spp-batch drain for every 1024-pixel strip runs as a single
+        TPU kernel. Returns the (H, W, 4) SUM of per-sample values, like
+        the other step engines."""
+        from .ops import pallas as _plk
+        from .ops.pallas.kernel import render_strips
+        from .ops.pallas.pack import build_env_pool, build_params_rows
+
+        scene = self._scene_device()
+        cfg = self._config()
+        if not _plk.supports_scene(scene, cfg):
+            raise NotImplementedError(
+                "pallas engine v1 covers no-TF/no-emission scenes with "
+                "atlases <= 12288 slots; use step_engine='device_queue'"
+            )
+        if self._pallas_packed is None:
+            self._pallas_packed = _plk.pack_scene(scene)
+        params = self._trace_params()
+        n_pix = self._width * self._height
+        n_pad = -(-n_pix // 1024) * 1024
+        pool = build_env_pool(scene, int(self.seed), int(self.sample))
+        pf, pi = build_params_rows(
+            scene, params, self._width, self._height, self.sample
+        )
+        out = render_strips(
+            self._pallas_packed, pool, pf, pi, n_pad, self._width, spp
+        )
+        return out[:n_pix].reshape(self._height, self._width, 4)
+
     def trace(self, spp: int = 1):
         """Advance the progressive accumulation by ``spp`` samples
         (renderer.cpp:78-145; one GL dispatch = spp=1)."""
@@ -330,6 +362,8 @@ class Renderer:
                         self.sample,
                         self.mesh,
                     )
+            elif self.step_engine == "pallas":
+                accum = self._render_pallas(int(spp))
             elif self.step_engine == "host":
                 # host-stepped phase dispatch: slower (per-dispatch tunnel
                 # overhead) but interruptible between steps
