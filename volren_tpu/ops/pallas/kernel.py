@@ -96,9 +96,15 @@ def _tea(v0, v1, rounds=32):
     return v0
 
 
+def _bitcast(x, dt):
+    return jax.lax.bitcast_convert_type(x, dt)
+
+
 def _rng(seed, active):
     new = seed * u32(1664525) + u32(1013904223)
-    uni = (new & u32(0x00FFFFFF)).astype(f32) * f32(1.0 / float(0x01000000))
+    # Mosaic has no u32->f32 cast; the masked value fits i32, so bitcast
+    uni = _bitcast(new & u32(0x00FFFFFF), i32).astype(f32) \
+        * f32(1.0 / float(0x01000000))
     return jnp.where(active, new, seed), uni
 
 
@@ -132,7 +138,48 @@ def _luma(c):
 
 
 def _sanitize(x):
-    return jnp.where(jnp.isfinite(x), x, 0.0)
+    # isfinite without the isfinite primitive: x - x is 0 iff x is finite
+    return jnp.where((x - x) == 0.0, x, 0.0)
+
+
+def _atan_core(t):
+    """atan on |t| <= tan(pi/8)+eps (musl atanf minimax, ~1e-8)."""
+    z = t * t
+    s = z * (f32(0.33333328366) - z * (f32(0.19999158382)
+             - z * (f32(0.14253635705) - z * (f32(0.10648017377)
+                    - z * f32(0.061687607318)))))
+    return t - t * s
+
+
+def _atan2(y, x):
+    """Mosaic has no atan2 primitive; range-reduced minimax (~1e-7 rad,
+    well under an envmap texel at 1024 wide)."""
+    ay = jnp.abs(y)
+    ax = jnp.abs(x)
+    hi = jnp.maximum(ay, ax)
+    lo = jnp.minimum(ay, ax)
+    t = lo / jnp.maximum(hi, f32(1e-37))
+    big = t > f32(0.4142135623730951)
+    tr = jnp.where(big, (t - 1.0) / (t + 1.0), t)
+    a = _atan_core(tr) + jnp.where(big, f32(M_PI / 4.0), f32(0.0))
+    a = jnp.where(ay > ax, f32(M_PI / 2.0) - a, a)
+    a = jnp.where(x < 0.0, f32(M_PI) - a, a)
+    return jnp.where(y < 0.0, -a, a)
+
+
+def _acos(x):
+    xc = jnp.clip(x, -1.0, 1.0)
+    return _atan2(jnp.sqrt(jnp.maximum((1.0 - xc) * (1.0 + xc), 0.0)), xc)
+
+
+def _round_half_even(x):
+    """round-to-nearest-even as i32 (Mosaic round support unverified;
+    must match jnp.round for mip values k*0.25)."""
+    r = jnp.floor(x + 0.5)
+    ri = r.astype(i32)
+    tie = (r - x) == 0.5
+    odd = (ri & 1) == 1
+    return jnp.where(tie & odd, ri - 1, ri)
 
 
 def _align(n, v):
@@ -307,7 +354,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
         H = pi_ref[0, PI_HEIGHT]
         spp_base = pi_ref[0, PI_SPP_BASE]
         bounces = pi_ref[0, PI_BOUNCES]
-        seed0 = pi_ref[0, PI_SEED].astype(u32)
+        seed0_i = pi_ref[0, PI_SEED]  # bitcast to u32 after broadcast
         pix0 = pi_ref[0, PI_PIX0]
 
         strip = pl.program_id(0)
@@ -427,12 +474,14 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
 
         # ---- phases (megakernel.py bodies, SoA)
         def phase_regen(s):
-            lane_u = s["py"].astype(u32) * u32(W) + s["px"].astype(u32)
+            lane_u = (_bitcast(s["py"], u32) * u32(W)
+                      + _bitcast(s["px"], u32))
             regen = s["mode"] == MODE_REGEN
             can = regen & (s["spp_done"] < spp)
             s["mode"] = jnp.where(regen & ~can, MODE_INACTIVE,
                                   jnp.where(can, MODE_EXTEND, s["mode"]))
-            sample_idx = (spp_base + s["spp_done"] + 1).astype(u32)
+            sample_idx = _bitcast(spp_base + s["spp_done"] + 1, u32)
+            seed0 = _bitcast(jnp.broadcast_to(seed0_i, LANES), u32)
             fresh = _tea(seed0 * lane_u, sample_idx)
             s["seed"] = jnp.where(can, fresh, s["seed"])
             seed, u1 = _rng(s["seed"], can)
@@ -504,7 +553,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
                 curr = (s["ix0"] + s["t"] * s["idx"],
                         s["iy0"] + s["t"] * s["idy"],
                         s["iz0"] + s["t"] * s["idz"])
-                mip_i = jnp.round(s["mip"]).astype(i32)
+                mip_i = _round_half_even(s["mip"])
                 maj = majorant_at(curr, mip_i)
                 dim = (8 << mip_i).astype(f32)
                 ri = (s["rix"], s["riy"], s["riz"])
@@ -560,7 +609,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
                        s["poz"] + s["t"] * s["pdz"])
                 org = _w3(ext_hit, org, (s["pox"], s["poy"], s["poz"]))
                 s["pox"], s["poy"], s["poz"] = org
-                s["n_paths"] = s["n_paths"] + ext_hit.astype(i32)
+                s["n_paths"] = s["n_paths"] + jnp.where(ext_hit, 1, 0)
                 pd = (s["pdx"], s["pdy"], s["pdz"])
                 f_p = _hg_phase(-(pd[0] * w_i[0] + pd[1] * w_i[1]
                                   + pd[2] * w_i[2]), phase_g)
@@ -598,10 +647,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
             # bilinear; jitter draws only touch the escaping sample)
             esc = event == EV_EXT_EXIT
             idir = _mat3_vec(env_inv, pd)
-            uu = jnp.arctan2(idir[2], idir[0]) * f32(1.0 / (2.0 * M_PI)) \
-                + 0.5
-            vv = 1.0 - jnp.arccos(jnp.clip(idir[1], -1.0, 1.0)) \
-                * f32(1.0 / M_PI)
+            uu = _atan2(idir[2], idir[0]) * f32(1.0 / (2.0 * M_PI)) + 0.5
+            vv = 1.0 - _acos(idir[1]) * f32(1.0 / M_PI)
             x = uu * EW - 0.5
             y = vv * EH - 0.5
             seed, rx = _rng(seed, esc)
@@ -660,12 +707,12 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
             sr, sg, sb = (_sanitize(L[0]), _sanitize(L[1]),
                           _sanitize(L[2]))
             sa = _sanitize(alpha)
-            endf = end.astype(f32)
+            endf = jnp.where(end, f32(1.0), f32(0.0))
             s["accR"] = s["accR"] + endf * sr
             s["accG"] = s["accG"] + endf * sg
             s["accB"] = s["accB"] + endf * sb
             s["accA"] = s["accA"] + endf * sa
-            s["spp_done"] = s["spp_done"] + end.astype(i32)
+            s["spp_done"] = s["spp_done"] + jnp.where(end, 1, 0)
             zero = jnp.zeros(LANES, f32)
             s["Lx"], s["Ly"], s["Lz"] = _w3(end, (zero, zero, zero), L)
             s["mode"] = jnp.where(end, MODE_REGEN,
