@@ -67,14 +67,17 @@ EV_SCATTER, EV_TEST = 5, 6
 
 # state field order (the while-loop carry). 3-vectors are 3 fields.
 STATE_KEYS = (
-    "px", "py", "mode", "event", "seed",
+    "mode", "event", "seed",
     "pox", "poy", "poz", "pdx", "pdy", "pdz",
     "thx", "thy", "thz", "Lx", "Ly", "Lz", "pnx", "pny", "pnz",
     "n_paths", "last_f_p", "free",
     "t", "far", "tau", "mip",
     "ix0", "iy0", "iz0", "idx", "idy", "idz", "rix", "riy", "riz",
-    "accR", "accG", "accB", "accA", "spp_done",
+    "spp_done",
 )
+# px/py are loop-invariant (closure constants); the accumulators live in
+# the output refs (fewer while-loop carries: the in-kernel carry tax
+# measured ~0.15 us/array/iteration, probes/results/pallas4.jsonl X3)
 
 
 # ---------------------------------------------------------------------------
@@ -474,8 +477,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
 
         # ---- phases (megakernel.py bodies, SoA)
         def phase_regen(s):
-            lane_u = (_bitcast(s["py"], u32) * u32(W)
-                      + _bitcast(s["px"], u32))
+            lane_u = (_bitcast(py, u32) * u32(W)
+                      + _bitcast(px, u32))
             regen = s["mode"] == MODE_REGEN
             can = regen & (s["spp_done"] < spp)
             s["mode"] = jnp.where(regen & ~can, MODE_INACTIVE,
@@ -489,8 +492,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
             s["seed"] = seed
             wf = f32(W)
             hf = H.astype(f32)
-            pix_x = (s["px"].astype(f32) + u1 - wf * 0.5) / hf
-            pix_y = (s["py"].astype(f32) + u2 - hf * 0.5) / hf
+            pix_x = (px.astype(f32) + u1 - wf * 0.5) / hf
+            pix_y = (py.astype(f32) + u2 - hf * 0.5) / hf
             cam_local = (pix_x, pix_y,
                          jnp.full(LANES, 1.0, f32) * z_cam)
             nd = _norm3(_mat3_vec(cam_m, _norm3(cam_local)))
@@ -708,10 +711,10 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
                           _sanitize(L[2]))
             sa = _sanitize(alpha)
             endf = jnp.where(end, f32(1.0), f32(0.0))
-            s["accR"] = s["accR"] + endf * sr
-            s["accG"] = s["accG"] + endf * sg
-            s["accB"] = s["accB"] + endf * sb
-            s["accA"] = s["accA"] + endf * sa
+            or_ref[:] = or_ref[:] + endf * sr
+            og_ref[:] = og_ref[:] + endf * sg
+            ob_ref[:] = ob_ref[:] + endf * sb
+            oa_ref[:] = oa_ref[:] + endf * sa
             s["spp_done"] = s["spp_done"] + jnp.where(end, 1, 0)
             zero = jnp.zeros(LANES, f32)
             s["Lx"], s["Ly"], s["Lz"] = _w3(end, (zero, zero, zero), L)
@@ -726,8 +729,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
         # ---- init state
         zero = jnp.zeros(LANES, f32)
         zeroi = jnp.zeros(LANES, i32)
+        or_ref[:] = zero
+        og_ref[:] = zero
+        ob_ref[:] = zero
+        oa_ref[:] = zero
         s = {
-            "px": px, "py": py,
             "mode": jnp.full(LANES, MODE_REGEN, i32),
             "event": zeroi,
             "seed": jnp.zeros(LANES, u32),
@@ -742,7 +748,6 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
             "ix0": zero, "iy0": zero, "iz0": zero,
             "idx": zero, "idy": zero, "idz": zero + 1.0,
             "rix": zero, "riy": zero, "riz": zero + 1.0,
-            "accR": zero, "accG": zero, "accB": zero, "accA": zero,
             "spp_done": zeroi,
         }
 
@@ -767,12 +772,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
 
         init = (jnp.zeros((1, 1), i32),) + tuple(
             s[k] for k in STATE_KEYS)
-        out = lax.while_loop(cond, body, init)
-        s = dict(zip(STATE_KEYS, out[1:]))
-        or_ref[:] = s["accR"]
-        og_ref[:] = s["accG"]
-        ob_ref[:] = s["accB"]
-        oa_ref[:] = s["accA"]
+        lax.while_loop(cond, body, init)
 
     return kernel
 
@@ -789,14 +789,24 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
     kernel = _make_kernel(meta, width, spp, k_march, test_every, unroll,
                           max_iters, skip_blocks)
 
-    n_tabs = 5 + 7 + 3  # scene tables + pool + env channels
     out_shape = [jax.ShapeDtypeStruct((n_strips * 8, 128), f32)
                  for _ in range(4)]
     out_specs = [pl.BlockSpec((8, 128), lambda k: (k, 0),
                               memory_space=pltpu.VMEM) for _ in range(4)]
+
+    def tab_spec(arr):
+        # constant index map: the pipeline fetches each table ONCE and
+        # reuses it across grid steps instead of re-DMAing ~9 MB per strip
+        return pl.BlockSpec(arr.shape, lambda k: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    table_order = ("atlas_p", "meta_slot", "meta_lo", "meta_hi", "mip_maj")
+    pool_order = ("wx", "wy", "wz", "pdf", "ler", "leg", "leb")
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_tabs
+        + [tab_spec(tabs[k]) for k in table_order]
+        + [tab_spec(pool[k]) for k in pool_order]
+        + [tab_spec(tabs[k]) for k in ("env_r", "env_g", "env_b")]
     )
 
     kwargs = {}
@@ -824,7 +834,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
 
 
 def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
-                  k_march=8, test_every=4, unroll=2, skip_blocks=True,
+                  k_march=8, test_every=4, unroll=2, skip_blocks=False,
                   interpret=None):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
