@@ -6,7 +6,7 @@ Stages (one jsonl line each, results/pallas_engine.jsonl):
   E1 128^2 spp4   compile + mean-vs-device_queue check
   E2 256^2 spp16  honest timed (np.asarray pull)
   E3 1024^2 spp16 honest timed
-  E4 1024^2 spp16 skip_blocks=False A/B (is the lax.cond block skip real?)
+  E4 1024^2 spp16 test_every x unroll knob sweep
 
 Run ALONE (touch /tmp/tpu_busy).
 """
@@ -104,7 +104,7 @@ def main():
                   "error": f"{type(e).__name__}: {e}"[:1200]})
             return
 
-    # ---- E4: block-skip A/B at 1024^2
+    # ---- E4: test_every / unroll sweep at 1024^2
     try:
         from volren_tpu.ops.pallas import pack_scene
         from volren_tpu.ops.pallas.kernel import render_strips
@@ -117,22 +117,23 @@ def main():
         params = r._trace_params()
         pool = build_env_pool(scene, SEED + 7, 0)
         pf, pi = build_params_rows(scene, params, 1024, 1024, 0)
-        for skip in (True, False):
+        for te, un in ((4, 2), (2, 2), (8, 2), (4, 1), (4, 4)):
             t0 = time.time()
             out = render_strips(packed, pool, pf, pi, 1024 * 1024, 1024,
-                                16, skip_blocks=skip)
+                                16, test_every=te, unroll=un)
             np.asarray(out)
             cold = time.time() - t0
             t0 = time.time()
             out = render_strips(packed, pool, pf, pi, 1024 * 1024, 1024,
-                                16, skip_blocks=skip)
+                                16, test_every=te, unroll=un)
             np.asarray(out)
             warm = time.time() - t0
-            emit({"stage": "E4_skip_ab", "skip_blocks": skip, "ok": True,
-                  "cold_s": round(cold, 2), "warm_s": round(warm, 2),
+            emit({"stage": "E4_knobs", "test_every": te, "unroll": un,
+                  "ok": True, "cold_s": round(cold, 2),
+                  "warm_s": round(warm, 2),
                   "spp_per_s": round(16 / warm, 2)})
     except Exception as e:
-        emit({"stage": "E4_skip_ab", "ok": False,
+        emit({"stage": "E4_knobs", "ok": False,
               "error": f"{type(e).__name__}: {e}"[:1200]})
 
     emit({"mode": "done"})

@@ -48,7 +48,7 @@ def test_scan_gather_exact():
     c = rng.integers(0, 128, (8, 128)).astype(np.int32)
 
     def kernel(t1, t2, rr, cc, o1, o2):
-        a, b = _scan_gather([t1, t2], rr[:], cc[:], rows, skip=True)
+        a, b = _scan_gather([t1[:], t2[:]], rr[:], cc[:], rows)
         o1[:] = a
         o2[:] = b
 

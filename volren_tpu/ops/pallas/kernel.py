@@ -256,71 +256,37 @@ def _xform_vec(m16, v):
 # mask-reduce gather
 # ---------------------------------------------------------------------------
 
-def _scan_gather(tabs, r, c, rows, blk=128, skip=True):
+def _scan_gather(tabs, r, c, rows):
     """out_k[i,j] = tabs[k][r[i,j], c[i,j]] for an (8,128) lane block.
 
-    tabs: list of (rows, 128) refs or values (i32/f32). r MUST be in
-    [0, rows), c in [0, 128). Tables are scanned in ``blk``-row blocks;
-    with ``skip`` each block is guarded by lax.cond on whether any lane
-    of the current sublane row targets it (pure scheduling — results are
-    exact either way)."""
-    dtypes = [t.dtype for t in tabs]
-    n_blocks = -(-rows // blk)
+    tabs: list of (rows, 128) VALUES (materialize refs ONCE at kernel
+    start — `ref[:]` — before calling; re-slicing refs per use re-loads
+    them from VMEM and was measured 10-100x slower, probes pallas5). Per
+    sublane row: one axis1 tpu.dynamic_gather shuffles every table row by
+    that row's column indices, then a masked row-sum picks each lane's
+    row — exact, and ~vector-speed (a (896,128) gather of 1024 lanes
+    measures below timing noise, results/pallas5.jsonl). r MUST be in
+    [0, rows), c in [0, 128)."""
+    iota_n = jax.lax.broadcasted_iota(i32, (rows, 128), 0)
     out_rows = [[] for _ in tabs]
     for i in range(8):
-        r_i = r[i:i + 1, :]
-        c_i = c[i:i + 1, :]
-        c_b = jnp.broadcast_to(c_i, (min(blk, rows), 128))
-        accs = tuple(jnp.zeros((1, 128), f32) for _ in tabs)
-
-        def make_block(base_static_rows):
-            rb = base_static_rows
-
-            def block(base, accs):
-                iota_n = (jax.lax.broadcasted_iota(i32, (rb, 128), 0)
-                          + base)
-                rB = jnp.broadcast_to(r_i, (rb, 128))
-                hit = iota_n == rB
-                outs = []
-                for t, acc in zip(tabs, accs):
-                    tb = t[pl.ds(base, rb), :] if hasattr(t, "at") else \
-                        lax.dynamic_slice(t, (base, 0), (rb, 128))
-                    G = jnp.take_along_axis(tb, c_b, axis=1)
-                    v = jnp.sum(jnp.where(hit, G.astype(f32), 0.0),
-                                axis=0, keepdims=True)
-                    outs.append(acc + v)
-                return tuple(outs)
-            return block
-
-        if n_blocks == 1:
-            accs = make_block(rows)(0, accs)
-        else:
-            blk_fn = make_block(blk)
-
-            def body(b, accs):
-                base = b * blk
-                if skip:
-                    in_blk = jnp.any((r_i >= base) & (r_i < base + blk))
-                    return lax.cond(in_blk, lambda a: blk_fn(base, a),
-                                    lambda a: a, accs)
-                return blk_fn(base, accs)
-
-            accs = lax.fori_loop(0, n_blocks, body, accs)
-        for k, acc in enumerate(accs):
-            out_rows[k].append(acc)
-    outs = []
-    for k, dt in enumerate(dtypes):
-        v = jnp.concatenate(out_rows[k], axis=0)
-        outs.append(v.astype(dt) if dt == jnp.int32 else v)
-    return outs
+        c_b = jnp.broadcast_to(c[i:i + 1, :], (rows, 128))
+        r_b = jnp.broadcast_to(r[i:i + 1, :], (rows, 128))
+        hit = iota_n == r_b
+        for k, t in enumerate(tabs):
+            G = jnp.take_along_axis(t, c_b, axis=1)
+            zero = jnp.zeros((), t.dtype)
+            out_rows[k].append(jnp.sum(jnp.where(hit, G, zero), axis=0,
+                                       keepdims=True))
+    return [jnp.concatenate(rs, axis=0) for rs in out_rows]
 
 
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
-                 skip_blocks):
+def _make_kernel(meta, width, spp, k_march, test_every, unroll,
+                 max_iters):
     bx, by, bz = meta.n_bricks
     mip_dims = meta.mip_dims          # ((z,y,x) x 4), level 0 = bricks
     mip_offsets = meta.mip_offsets
@@ -367,34 +333,41 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
         px = pix % W
         py = pix // W
 
-        # ---- gathers bound to the scene refs
+        # ---- tables, materialized ONCE as values (re-slicing refs
+        # per use re-loads them from VMEM: 10-100x slower, pallas5)
+        atlas_t = atlas_ref[:]
+        mslot_t = mslot_ref[:]
+        mlo_t = mlo_ref[:]
+        mhi_t = mhi_ref[:]
+        mip_t = mip_ref[:]
+        pool_t = [pwx[:], pwy[:], pwz[:], ppdf[:], pler[:], pleg[:],
+                  pleb[:]]
+        env_t = [er_tab[:], eg_tab[:], eb_tab[:]]
+
         def fetch_meta(bidx):
             s, lo, hi = _scan_gather(
-                [mslot_ref, mlo_ref, mhi_ref], bidx >> 7, bidx & 127,
-                meta.meta_rows, skip=skip_blocks)
+                [mslot_t, mlo_t, mhi_t], bidx >> 7, bidx & 127,
+                meta.meta_rows)
             return s, lo, hi
 
         def fetch_mip(idx):
-            (v,) = _scan_gather([mip_ref], idx >> 7, idx & 127,
-                                meta.mip_rows, skip=skip_blocks)
+            (v,) = _scan_gather([mip_t], idx >> 7, idx & 127,
+                                meta.mip_rows)
             return v
 
         def fetch_atlas(slot, voff):
-            g32 = _scan_gather(
-                [atlas_ref], slot, voff >> 2, meta.n_slots,
-                skip=skip_blocks)[0]
+            g32 = _scan_gather([atlas_t], slot, voff >> 2,
+                               meta.n_slots)[0]
             shift = (voff & 3) * 8
             return ((g32 >> shift) & 255).astype(f32) * f32(1.0 / 255.0)
 
         def fetch_env(eidx):
-            return _scan_gather(
-                [er_tab, eg_tab, eb_tab], eidx >> 7, eidx & 127,
-                meta.env_rows, skip=skip_blocks)
+            return _scan_gather(env_t, eidx >> 7, eidx & 127,
+                                meta.env_rows)
 
         def fetch_pool(pidx):
-            return _scan_gather(
-                [pwx, pwy, pwz, ppdf, pler, pleg, pleb],
-                pidx >> 7, pidx & 127, meta.pool_rows, skip=False)
+            return _scan_gather(pool_t, pidx >> 7, pidx & 127,
+                                meta.pool_rows)
 
         # ---- density machinery (ops/grid.py ports)
         def brick_index(tap):
@@ -780,14 +753,13 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll, max_iters,
 @partial(
     jax.jit,
     static_argnames=("meta", "width", "n_strips", "spp", "k_march",
-                     "test_every", "unroll", "skip_blocks", "interpret"),
+                     "test_every", "unroll", "interpret"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
-                       spp, k_march, test_every, unroll, skip_blocks,
-                       interpret):
+                       spp, k_march, test_every, unroll, interpret):
     max_iters = (2048 + 512 * spp) * 8
     kernel = _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                          max_iters, skip_blocks)
+                          max_iters)
 
     out_shape = [jax.ShapeDtypeStruct((n_strips * 8, 128), f32)
                  for _ in range(4)]
@@ -834,8 +806,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
 
 
 def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
-                  k_march=8, test_every=4, unroll=2, skip_blocks=False,
-                  interpret=None):
+                  k_march=8, test_every=4, unroll=2, interpret=None):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -848,4 +819,4 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
     return _render_strips_jit(
         tabs, pool, pf, pi, packed.meta, int(width), n_pix // 1024,
         int(spp), int(k_march), int(test_every), int(unroll),
-        bool(skip_blocks), bool(interpret))
+        bool(interpret))
