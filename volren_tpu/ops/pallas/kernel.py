@@ -286,7 +286,7 @@ def _scan_gather(tabs, r, c, rows):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                 max_iters):
+                 max_iters, escape_every):
     bx, by, bz = meta.n_bricks
     mip_dims = meta.mip_dims          # ((z,y,x) x 4), level 0 = bricks
     mip_offsets = meta.mip_offsets
@@ -296,7 +296,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
     def kernel(pf_ref, pi_ref, atlas_ref, mslot_ref, mlo_ref, mhi_ref,
                mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb,
                er_tab, eg_tab, eb_tab,
-               or_ref, og_ref, ob_ref, oa_ref):
+               or_ref, og_ref, ob_ref, oa_ref, oit_ref):
         # ---- scalars
         def pf(k, n=1):
             if n == 1:
@@ -608,7 +608,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
             return lax.cond(jnp.any(ext_hit), do, lambda s: dict(s), s)
 
-        def phase_finish(s):
+        def phase_finish(s, do_escape=True):
             event = s["event"]
             sh_hit = event == EV_SH_HIT
             seed, _u_rr_sh = _rng(s["seed"], sh_hit)
@@ -620,24 +620,26 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             pd = (s["pdx"], s["pdy"], s["pdz"])
 
             # escape: STOCHASTIC bilinear environment tap (E = reference
-            # bilinear; jitter draws only touch the escaping sample)
-            esc = event == EV_EXT_EXIT
-            idir = _mat3_vec(env_inv, pd)
-            uu = _atan2(idir[2], idir[0]) * f32(1.0 / (2.0 * M_PI)) + 0.5
-            vv = 1.0 - _acos(idir[1]) * f32(1.0 / M_PI)
-            x = uu * EW - 0.5
-            y = vv * EH - 0.5
-            seed, rx = _rng(seed, esc)
-            seed, ry = _rng(seed, esc)
-            xt = jnp.floor(x + rx).astype(i32)
-            yt = jnp.floor(y + ry).astype(i32)
-            xw = jnp.where(xt < 0, xt + EW, xt)
-            xw = jnp.where(xw >= EW, xw - EW, xw)
-            yc = jnp.clip(yt, 0, EH - 1)
-            eidx = yc * EW + xw
-
-            def esc_fetch(args):
-                L, seed = args
+            # bilinear; jitter draws only touch the escaping sample).
+            # do_escape=False parks EV_EXT_EXIT lanes for a later step
+            # (the megakernel's alternating-escape scheduling: parked
+            # lanes draw nothing, output unchanged, tails a bit longer)
+            if do_escape:
+                esc = event == EV_EXT_EXIT
+                idir = _mat3_vec(env_inv, pd)
+                uu = _atan2(idir[2], idir[0]) * f32(1.0 / (2.0 * M_PI)) \
+                    + 0.5
+                vv = 1.0 - _acos(idir[1]) * f32(1.0 / M_PI)
+                x = uu * EW - 0.5
+                y = vv * EH - 0.5
+                seed, rx = _rng(seed, esc)
+                seed, ry = _rng(seed, esc)
+                xt = jnp.floor(x + rx).astype(i32)
+                yt = jnp.floor(y + ry).astype(i32)
+                xw = jnp.where(xt < 0, xt + EW, xt)
+                xw = jnp.where(xw >= EW, xw - EW, xw)
+                yc = jnp.clip(yt, 0, EH - 1)
+                eidx = yc * EW + xw
                 er, eg, eb = fetch_env(eidx)
                 le_env = (env_strength * er, env_strength * eg,
                           env_strength * eb)
@@ -647,13 +649,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     s["n_paths"] > 0,
                     a2 / jnp.maximum(a2 + pdf_esc * pdf_esc, 1e-32), 1.0)
                 add = esc & (s["free"] != 0) & show_env
-                Lo = tuple(
+                L = tuple(
                     Lk + jnp.where(add, tk * mis_esc * lek, 0.0)
                     for Lk, tk, lek in zip(L, thr, le_env))
-                return Lo, seed
-
-            L, seed = lax.cond(jnp.any(esc), esc_fetch,
-                               lambda a: a, (L, seed))
+            else:
+                esc = jnp.zeros(LANES, jnp.bool_)
 
             scatter = sh_hit | sh_vis | (event == EV_SCATTER)
             capped = scatter & (s["n_paths"] >= bounces)
@@ -706,6 +706,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         og_ref[:] = zero
         ob_ref[:] = zero
         oa_ref[:] = zero
+        oit_ref[:] = zero
         s = {
             "mode": jnp.full(LANES, MODE_REGEN, i32),
             "event": zeroi,
@@ -724,11 +725,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             "spp_done": zeroi,
         }
 
-        def step(s):
+        def step(s, do_escape=True):
             s = phase_regen(s)
             s = phase_march(s)
             s = phase_nee(s)
-            s = phase_finish(s)
+            s = phase_finish(s, do_escape=do_escape)
             return s
 
         def cond(c):
@@ -739,13 +740,19 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         def body(c):
             it = c[0]
             s = dict(zip(STATE_KEYS, c[1:]))
-            for _ in range(unroll):
-                s = step(s)
+            for i in range(unroll):
+                # env fetch on every escape_every-th slot (and always on
+                # the last so a drain can't stall with parked escapes)
+                do_esc = ((i + 1) % escape_every == 0) or i == unroll - 1
+                s = step(s, do_escape=do_esc)
             return (it + unroll,) + tuple(s[k] for k in STATE_KEYS)
 
         init = (jnp.zeros((1, 1), i32),) + tuple(
             s[k] for k in STATE_KEYS)
-        lax.while_loop(cond, body, init)
+        out = lax.while_loop(cond, body, init)
+        # per-strip while-iteration count (diagnostics: drain-tail
+        # inflation = iters * lanes / (pixels * spp * steps_per_sample))
+        oit_ref[:] = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
 
     return kernel
 
@@ -753,18 +760,19 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 @partial(
     jax.jit,
     static_argnames=("meta", "width", "n_strips", "spp", "k_march",
-                     "test_every", "unroll", "interpret"),
+                     "test_every", "unroll", "escape_every", "interpret"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
-                       spp, k_march, test_every, unroll, interpret):
+                       spp, k_march, test_every, unroll, escape_every,
+                       interpret):
     max_iters = (2048 + 512 * spp) * 8
     kernel = _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                          max_iters)
+                          max_iters, escape_every)
 
     out_shape = [jax.ShapeDtypeStruct((n_strips * 8, 128), f32)
-                 for _ in range(4)]
+                 for _ in range(5)]
     out_specs = [pl.BlockSpec((8, 128), lambda k: (k, 0),
-                              memory_space=pltpu.VMEM) for _ in range(4)]
+                              memory_space=pltpu.VMEM) for _ in range(5)]
 
     def tab_spec(arr):
         # constant index map: the pipeline fetches each table ONCE and
@@ -798,15 +806,17 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
       pool["wx"], pool["wy"], pool["wz"], pool["pdf"],
       pool["ler"], pool["leg"], pool["leb"],
       tabs["env_r"], tabs["env_g"], tabs["env_b"])
-    r, g, b, a = outs
+    r, g, b, a, iters = outs
     n_pix = n_strips * 1024
-    return jnp.stack(
+    img = jnp.stack(
         [r.reshape(n_pix), g.reshape(n_pix), b.reshape(n_pix),
          a.reshape(n_pix)], axis=-1)
+    return img, iters[::8, 0]  # one iteration count per strip
 
 
 def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
-                  k_march=8, test_every=4, unroll=2, interpret=None):
+                  k_march=8, test_every=4, unroll=2, escape_every=2,
+                  interpret=None, return_iters=False):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -816,7 +826,10 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     tabs = {k: v for k, v in packed._asdict().items() if k != "meta"}
-    return _render_strips_jit(
+    img, iters = _render_strips_jit(
         tabs, pool, pf, pi, packed.meta, int(width), n_pix // 1024,
         int(spp), int(k_march), int(test_every), int(unroll),
-        bool(interpret))
+        int(escape_every), bool(interpret))
+    if return_iters:
+        return img, iters
+    return img
