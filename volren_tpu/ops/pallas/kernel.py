@@ -281,12 +281,81 @@ def _scan_gather(tabs, r, c, rows):
     return [jnp.concatenate(rs, axis=0) for rs in out_rows]
 
 
+def _prefix_ranks(mask):
+    """Exclusive flat-lane-order rank of each True lane in an (8,128)
+    mask, via log-shift prefix sums within rows (pltpu.roll) + static
+    row-offset accumulation. Returns (rank (8,128) i32, counts (8,128)
+    broadcast of the running inclusive totals' last row)."""
+    x = jnp.where(mask, 1, 0).astype(i32)
+    lane_iota = jax.lax.broadcasted_iota(i32, LANES, 1)
+    s = x
+    for d in (1, 2, 4, 8, 16, 32, 64):
+        sh = pltpu.roll(s, d, 1)
+        s = s + jnp.where(lane_iota >= d, sh, 0)
+    row_tot = s[:, 127:128]                       # (8,1) inclusive
+    offs_rows = []
+    acc = jnp.zeros((1, 1), i32)
+    for irow in range(8):
+        offs_rows.append(jnp.broadcast_to(acc, (1, 128)))
+        acc = acc + row_tot[irow:irow + 1, :]
+    offs = jnp.concatenate(offs_rows, axis=0)     # (8,128) exclusive
+    rank = offs + s - x
+    return rank, acc[0, 0]
+
+
+def _compact_gather(tabs, r, c, rows, mask, rank=None, served=None):
+    """Fetch tabs[k][r, c] for up to 128 ``mask`` lanes with ONE table
+    scan instead of 8 (the per-sublane passes of _scan_gather are the
+    dominant fetch cost; active fetches are sparse — mean EV_TEST rate
+    0.85%/lane-step, NOTES.md). Returns (outs, served): lanes with
+    rank >= 128 are NOT fetched this call — callers defer them (pure
+    scheduling, bit-exact; the parked lane retries next resolve)."""
+    if rank is None:
+        rank, _total = _prefix_ranks(mask)
+        served = mask & (rank < 128)
+    rankc = jnp.where(served, rank, 127)
+    # compact (r, c) into row vectors: rc[0, k] = value of the lane with
+    # rank k. Per sublane row: K[k, j] = (rank_i[j] == k & served),
+    # contrib[k] = sum_j r_i[j] * K — an axis-1 reduce, then transpose.
+    iota_k = jax.lax.broadcasted_iota(i32, (128, 128), 0)
+    r_c = jnp.zeros((1, 128), i32)
+    c_c = jnp.zeros((1, 128), i32)
+    for irow in range(8):
+        K = (iota_k == jnp.broadcast_to(rankc[irow:irow + 1, :],
+                                        (128, 128))) \
+            & jnp.broadcast_to(served[irow:irow + 1, :], (128, 128))
+        r_c = r_c + jnp.sum(
+            jnp.where(K, jnp.broadcast_to(r[irow:irow + 1, :], (128, 128)),
+                      0), axis=1, keepdims=True).T
+        c_c = c_c + jnp.sum(
+            jnp.where(K, jnp.broadcast_to(c[irow:irow + 1, :], (128, 128)),
+                      0), axis=1, keepdims=True).T
+    # one-pass scan for the compacted row
+    iota_n = jax.lax.broadcasted_iota(i32, (rows, 128), 0)
+    cb = jnp.broadcast_to(c_c, (rows, 128))
+    rb = jnp.broadcast_to(r_c, (rows, 128))
+    hit = iota_n == rb
+    outs0 = []
+    for t in tabs:
+        G = jnp.take_along_axis(t, cb, axis=1)
+        zero = jnp.zeros((), t.dtype)
+        outs0.append(jnp.sum(jnp.where(hit, G, zero), axis=0,
+                             keepdims=True))
+    # route back: lane (i,j) reads slot rank[i,j]
+    outs = []
+    for o0 in outs0:
+        rows_out = [jnp.take_along_axis(o0, rankc[irow:irow + 1, :],
+                                        axis=1) for irow in range(8)]
+        outs.append(jnp.concatenate(rows_out, axis=0))
+    return outs, served
+
+
 # ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
 def _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                 max_iters, escape_every):
+                 max_iters, escape_every, compact):
     bx, by, bz = meta.n_bricks
     mip_dims = meta.mip_dims          # ((z,y,x) x 4), level 0 = bricks
     mip_offsets = meta.mip_offsets
@@ -368,6 +437,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         def fetch_pool(pidx):
             return _scan_gather(pool_t, pidx >> 7, pidx & 127,
                                 meta.pool_rows)
+
+        def cfetch(tabs, rows, idx, rank, served):
+            return _compact_gather(tabs, idx >> 7, idx & 127, rows,
+                                   None, rank=rank, served=served)[0]
+
 
         # ---- density machinery (ops/grid.py ports)
         def brick_index(tap):
@@ -496,15 +570,33 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
             def do(s):
                 s = dict(s)
-                maj = jnp.where(test, s["tau"], 0.0)
+                if compact:
+                    rank, _ = _prefix_ranks(test)
+                    act = test & (rank < 128)  # overflow defers (exact)
+                else:
+                    rank, act = None, test
+                maj = jnp.where(act, s["tau"], 0.0)
                 pos = (s["ix0"] + s["t"] * s["idx"],
                        s["iy0"] + s["t"] * s["idy"],
                        s["iz0"] + s["t"] * s["idz"])
-                tap, seed = stochastic_tricubic(pos, s["seed"], test)
-                d = density_scale * lookup_density_brick(tap)
-                seed, u_cls = _rng(seed, test)
-                real = test & (u_cls * jnp.maximum(maj, 0.0) < d)
-                redraw = test & ~real
+                tap, seed = stochastic_tricubic(pos, s["seed"], act)
+                if compact:
+                    bidx, voff = brick_index(tap)
+                    slot, lo, hi = cfetch([mslot_t, mlo_t, mhi_t],
+                                          meta.meta_rows, bidx, rank, act)
+                    slot = jnp.clip(slot, 0, meta.n_slots - 1)
+                    g32 = _compact_gather(
+                        [atlas_t], slot, voff >> 2, meta.n_slots, None,
+                        rank=rank, served=act)[0][0]
+                    shift = (voff & 3) * 8
+                    unorm = ((g32 >> shift) & 255).astype(f32) \
+                        * f32(1.0 / 255.0)
+                    d = density_scale * (lo + unorm * (hi - lo))
+                else:
+                    d = density_scale * lookup_density_brick(tap)
+                seed, u_cls = _rng(seed, act)
+                real = act & (u_cls * jnp.maximum(maj, 0.0) < d)
+                redraw = act & ~real
                 seed, u_tau = _rng(seed, redraw)
                 s["tau"] = jnp.where(redraw, -jnp.log(1.0 - u_tau),
                                      s["tau"])
@@ -569,23 +661,32 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
             def do(s):
                 s = dict(s)
-                seed, u0 = _rng(s["seed"], ext_hit)
-                seed, _u1 = _rng(seed, ext_hit)
+                if compact:
+                    rank, _ = _prefix_ranks(ext_hit)
+                    act = ext_hit & (rank < 128)  # overflow waits a step
+                else:
+                    rank, act = None, ext_hit
+                seed, u0 = _rng(s["seed"], act)
+                seed, _u1 = _rng(seed, act)
                 s["seed"] = seed
                 pidx = jnp.clip((u0 * POOL_N).astype(i32), 0, POOL_N - 1)
-                wx, wy, wz, pdf_nee, ler, leg, leb = fetch_pool(pidx)
+                if compact:
+                    wx, wy, wz, pdf_nee, ler, leg, leb = cfetch(
+                        pool_t, meta.pool_rows, pidx, rank, act)
+                else:
+                    wx, wy, wz, pdf_nee, ler, leg, leb = fetch_pool(pidx)
                 w_i = (wx, wy, wz)
                 le = (ler, leg, leb)
                 thr = (s["thx"] * albedo[0], s["thy"] * albedo[1],
                        s["thz"] * albedo[2])
-                thr = _w3(ext_hit, thr, (s["thx"], s["thy"], s["thz"]))
+                thr = _w3(act, thr, (s["thx"], s["thy"], s["thz"]))
                 s["thx"], s["thy"], s["thz"] = thr
                 org = (s["pox"] + s["t"] * s["pdx"],
                        s["poy"] + s["t"] * s["pdy"],
                        s["poz"] + s["t"] * s["pdz"])
-                org = _w3(ext_hit, org, (s["pox"], s["poy"], s["poz"]))
+                org = _w3(act, org, (s["pox"], s["poy"], s["poz"]))
                 s["pox"], s["poy"], s["poz"] = org
-                s["n_paths"] = s["n_paths"] + jnp.where(ext_hit, 1, 0)
+                s["n_paths"] = s["n_paths"] + jnp.where(act, 1, 0)
                 pd = (s["pdx"], s["pdy"], s["pdz"])
                 f_p = _hg_phase(-(pd[0] * w_i[0] + pd[1] * w_i[1]
                                   + pd[2] * w_i[2]), phase_g)
@@ -594,7 +695,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     (pdf_nee * pdf_nee)
                     / jnp.maximum(pdf_nee * pdf_nee + f_p * f_p, 1e-32),
                     1.0)
-                has_nee = ext_hit & (pdf_nee > 0.0)
+                has_nee = act & (pdf_nee > 0.0)
                 wgt = mis * f_p / jnp.maximum(pdf_nee, 1e-20)
                 pend = (thr[0] * wgt * le[0], thr[1] * wgt * le[1],
                         thr[2] * wgt * le[2])
@@ -602,7 +703,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 s["pnx"], s["pny"], s["pnz"] = pend
                 s["mode"] = jnp.where(has_nee, MODE_SHADOW, s["mode"])
                 s["event"] = jnp.where(
-                    ext_hit, jnp.where(has_nee, EV_NONE, EV_SCATTER),
+                    act, jnp.where(has_nee, EV_NONE, EV_SCATTER),
                     s["event"])
                 return setup_ray(s, org, _w3(has_nee, w_i, pd), has_nee)
 
@@ -626,6 +727,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             # lanes draw nothing, output unchanged, tails a bit longer)
             if do_escape:
                 esc = event == EV_EXT_EXIT
+                if compact:
+                    rank, _ = _prefix_ranks(esc)
+                    esc = esc & (rank < 128)  # overflow escapes park
+                else:
+                    rank = None
                 idir = _mat3_vec(env_inv, pd)
                 uu = _atan2(idir[2], idir[0]) * f32(1.0 / (2.0 * M_PI)) \
                     + 0.5
@@ -640,7 +746,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 xw = jnp.where(xw >= EW, xw - EW, xw)
                 yc = jnp.clip(yt, 0, EH - 1)
                 eidx = yc * EW + xw
-                er, eg, eb = fetch_env(eidx)
+                if compact:
+                    er, eg, eb = cfetch(env_t, meta.env_rows, eidx, rank,
+                                        esc)
+                else:
+                    er, eg, eb = fetch_env(eidx)
                 le_env = (env_strength * er, env_strength * eg,
                           env_strength * eb)
                 pdf_esc = _luma(le_env) / imp_avg * f32(INV_4PI)
@@ -760,14 +870,15 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 @partial(
     jax.jit,
     static_argnames=("meta", "width", "n_strips", "spp", "k_march",
-                     "test_every", "unroll", "escape_every", "interpret"),
+                     "test_every", "unroll", "escape_every", "compact",
+                     "interpret"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
-                       interpret):
+                       compact, interpret):
     max_iters = (2048 + 512 * spp) * 8
     kernel = _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                          max_iters, escape_every)
+                          max_iters, escape_every, compact)
 
     out_shape = [jax.ShapeDtypeStruct((n_strips * 8, 128), f32)
                  for _ in range(5)]
@@ -816,7 +927,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
 
 def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   k_march=8, test_every=4, unroll=2, escape_every=2,
-                  interpret=None, return_iters=False):
+                  compact=True, interpret=None, return_iters=False):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -829,7 +940,7 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
     img, iters = _render_strips_jit(
         tabs, pool, pf, pi, packed.meta, int(width), n_pix // 1024,
         int(spp), int(k_march), int(test_every), int(unroll),
-        int(escape_every), bool(interpret))
+        int(escape_every), bool(compact), bool(interpret))
     if return_iters:
         return img, iters
     return img
