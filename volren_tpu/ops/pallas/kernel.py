@@ -341,12 +341,12 @@ def _compact_gather(tabs, r, c, rows, mask, rank=None, served=None):
         zero = jnp.zeros((), t.dtype)
         outs0.append(jnp.sum(jnp.where(hit, G, zero), axis=0,
                              keepdims=True))
-    # route back: lane (i,j) reads slot rank[i,j]
+    # route back: lane (i,j) reads slot rank[i,j] (one (8,128) shuffle
+    # per table; (1,128) dynamic_gather operands fail Mosaic's tiling)
     outs = []
     for o0 in outs0:
-        rows_out = [jnp.take_along_axis(o0, rankc[irow:irow + 1, :],
-                                        axis=1) for irow in range(8)]
-        outs.append(jnp.concatenate(rows_out, axis=0))
+        o8 = jnp.broadcast_to(o0, (8, 128))
+        outs.append(jnp.take_along_axis(o8, rankc, axis=1))
     return outs, served
 
 
