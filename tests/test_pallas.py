@@ -108,3 +108,22 @@ def test_kernel_matches_chunked_statistically(random_grid16):
     r2.step_engine = "pallas"
     r2.trace(SPP)
     assert np.array_equal(np.asarray(r2._fb), got)
+
+
+def test_queue_mode_matches_strip(random_grid16):
+    """Work-queue mode (in-kernel dequeue + MXU outer-product flush
+    scatter) produces the SAME image as the fixed strip mode: identical
+    per-(pixel, sample) streams, lane assignment is pure scheduling."""
+    r = _tiny_renderer(random_grid16)
+    scene, params = r._scene_device(), r._trace_params()
+    from volren_tpu.ops.pallas import pack_scene
+    from volren_tpu.ops.pallas.kernel import render_strips
+    from volren_tpu.ops.pallas.pack import build_env_pool, build_params_rows
+
+    packed = pack_scene(scene)
+    pool = build_env_pool(scene, 123, 0)
+    pf, pi = build_params_rows(scene, params, 32, 32, 0)
+    a = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2))
+    b = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                 queue_items=1024))
+    assert np.array_equal(a, b)

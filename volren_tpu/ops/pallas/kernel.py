@@ -355,7 +355,18 @@ def _compact_gather(tabs, r, c, rows, mask, rank=None, served=None):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                 max_iters, escape_every, compact):
+                 max_iters, escape_every, compact, queue_items=0):
+    """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
+    owns a super-block of `queue_items` pixels; 1024 persistent lanes
+    dequeue pixels from a carried cursor (claims ranked by
+    _prefix_ranks, <=128 per while-iteration) and flush finished
+    per-pixel sums into the output block through an MXU outer-product
+    scatter (A += OH_rowT @ (v * OH_col) — exact: every output cell
+    receives at most one one-hot contribution). This rebuilds the XLA
+    device_queue engine's load balancing (ops/worklist.py, itself the
+    persistent-threads analogue of the reference's SIMT scheduling)
+    inside the kernel, where the measured drain-tail inflation of the
+    fixed strip engine is 4-6x (probes/results/pallas6.jsonl)."""
     bx, by, bz = meta.n_bricks
     mip_dims = meta.mip_dims          # ((z,y,x) x 4), level 0 = bricks
     mip_offsets = meta.mip_offsets
@@ -398,9 +409,13 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         strip = pl.program_id(0)
         lane = (jax.lax.broadcasted_iota(i32, LANES, 0) * 128
                 + jax.lax.broadcasted_iota(i32, LANES, 1))
-        pix = pix0 + strip * 1024 + lane
-        px = pix % W
-        py = pix // W
+        if queue_items:
+            sb_base = pix0 + strip * queue_items  # flat-pixel base
+            px = py = None  # carried in state (lane->pixel is dynamic)
+        else:
+            pix = pix0 + strip * 1024 + lane
+            px = pix % W
+            py = pix // W
 
         # ---- tables, materialized ONCE as values (re-slicing refs
         # per use re-loads them from VMEM: 10-100x slower, pallas5)
@@ -524,8 +539,10 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
         # ---- phases (megakernel.py bodies, SoA)
         def phase_regen(s):
-            lane_u = (_bitcast(py, u32) * u32(W)
-                      + _bitcast(px, u32))
+            pxv = s["px"] if queue_items else px
+            pyv = s["py"] if queue_items else py
+            lane_u = (_bitcast(pyv, u32) * u32(W)
+                      + _bitcast(pxv, u32))
             regen = s["mode"] == MODE_REGEN
             can = regen & (s["spp_done"] < spp)
             s["mode"] = jnp.where(regen & ~can, MODE_INACTIVE,
@@ -539,8 +556,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             s["seed"] = seed
             wf = f32(W)
             hf = H.astype(f32)
-            pix_x = (px.astype(f32) + u1 - wf * 0.5) / hf
-            pix_y = (py.astype(f32) + u2 - hf * 0.5) / hf
+            pix_x = (pxv.astype(f32) + u1 - wf * 0.5) / hf
+            pix_y = (pyv.astype(f32) + u2 - hf * 0.5) / hf
             cam_local = (pix_x, pix_y,
                          jnp.full(LANES, 1.0, f32) * z_cam)
             nd = _norm3(_mat3_vec(cam_m, _norm3(cam_local)))
@@ -794,10 +811,16 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                           _sanitize(L[2]))
             sa = _sanitize(alpha)
             endf = jnp.where(end, f32(1.0), f32(0.0))
-            or_ref[:] = or_ref[:] + endf * sr
-            og_ref[:] = og_ref[:] + endf * sg
-            ob_ref[:] = ob_ref[:] + endf * sb
-            oa_ref[:] = oa_ref[:] + endf * sa
+            if queue_items:
+                s["accR"] = s["accR"] + endf * sr
+                s["accG"] = s["accG"] + endf * sg
+                s["accB"] = s["accB"] + endf * sb
+                s["accA"] = s["accA"] + endf * sa
+            else:
+                or_ref[:] = or_ref[:] + endf * sr
+                og_ref[:] = og_ref[:] + endf * sg
+                ob_ref[:] = ob_ref[:] + endf * sb
+                oa_ref[:] = oa_ref[:] + endf * sa
             s["spp_done"] = s["spp_done"] + jnp.where(end, 1, 0)
             zero = jnp.zeros(LANES, f32)
             s["Lx"], s["Ly"], s["Lz"] = _w3(end, (zero, zero, zero), L)
@@ -835,6 +858,95 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             "spp_done": zeroi,
         }
 
+        keys = STATE_KEYS
+        if queue_items:
+            # queue-mode extras: dynamic lane->pixel map, current item,
+            # carried per-item rgba accumulator
+            s.update(px=zeroi, py=zeroi,
+                     item=jnp.full(LANES, -1, i32),
+                     accR=zero, accG=zero, accB=zero, accA=zero)
+            # every lane starts "finished" so the first dequeue claims
+            s["mode"] = jnp.full(LANES, MODE_INACTIVE, i32)
+            s["spp_done"] = jnp.full(LANES, spp, i32)
+            keys = STATE_KEYS + ("px", "py", "item",
+                                 "accR", "accG", "accB", "accA")
+            n_items = queue_items
+
+            def scatter_flush(s, mask, rank):
+                """Add <=128 finished items' rgba sums into the output
+                block: compact (item, rgba) to row slots, then one MXU
+                outer-product per channel — exact (one-hot rows; at most
+                one contribution per output cell; empty slots carry
+                v=0)."""
+                served = mask & (rank < 128)
+                rankc = jnp.where(served, rank, 127)
+                iota_k = jax.lax.broadcasted_iota(i32, (128, 128), 0)
+                comp = [jnp.zeros((1, 128), f32) for _ in range(5)]
+                vals = (s["item"].astype(f32), s["accR"], s["accG"],
+                        s["accB"], s["accA"])
+                for irow in range(8):
+                    K = (iota_k == jnp.broadcast_to(
+                        rankc[irow:irow + 1, :], (128, 128))) \
+                        & jnp.broadcast_to(served[irow:irow + 1, :],
+                                           (128, 128))
+                    for q, v in enumerate(vals):
+                        comp[q] = comp[q] + jnp.sum(
+                            jnp.where(K, jnp.broadcast_to(
+                                v[irow:irow + 1, :], (128, 128)), 0.0),
+                            axis=1, keepdims=True).T
+                it_c = comp[0].astype(i32)         # (1,128), 0 if empty
+                rowi = (it_c >> 7).T               # (128,1)
+                coli = (it_c & 127).T
+                sb_rows = queue_items // 128
+                iota_r = jax.lax.broadcasted_iota(i32, (128, sb_rows), 1)
+                ohr = (iota_r == jnp.broadcast_to(rowi, (128, sb_rows))
+                       ).astype(f32)
+                iota_c2 = jax.lax.broadcasted_iota(i32, (128, 128), 1)
+                ohc = (iota_c2 == jnp.broadcast_to(coli, (128, 128))
+                       ).astype(f32)
+                for ref, v_c in zip((or_ref, og_ref, ob_ref, oa_ref),
+                                    comp[1:]):
+                    vc = ohc * jnp.broadcast_to(v_c.T, (128, 128))
+                    add = jax.lax.dot_general(
+                        ohr, vc, (((0,), (0,)), ((), ())),
+                        preferred_element_type=f32)
+                    ref[:] = ref[:] + add
+                return served
+
+            def dequeue(s, cursor):
+                s = dict(s)
+                ready = (((s["mode"] == MODE_REGEN)
+                          | (s["mode"] == MODE_INACTIVE))
+                         & (s["spp_done"] >= spp))
+                # idle lanes (no item) only rank while the queue still has
+                # items — otherwise they hog ranks 0..k forever and lanes
+                # holding unflushed items never reach rank < 128
+                # (deadlock + lost flushes; /tmp queue mini-harness)
+                has_work = cursor[0, 0] < n_items
+                need = ready & ((s["item"] >= 0) | has_work)
+                rank, _ = _prefix_ranks(need)
+                serve = need & (rank < 128)
+                flush = serve & (s["item"] >= 0)
+                served = scatter_flush(s, flush, rank)
+                del served
+                new_item = cursor[0, 0] + rank
+                have = serve & (new_item < n_items)
+                s["item"] = jnp.where(have, new_item,
+                                      jnp.where(serve, -1, s["item"]))
+                pixf = sb_base + jnp.where(have, new_item, 0)
+                s["px"] = jnp.where(have, pixf % W, s["px"])
+                s["py"] = jnp.where(have, pixf // W, s["py"])
+                s["spp_done"] = jnp.where(have, 0, s["spp_done"])
+                zf = jnp.where(have, 0.0, 1.0)
+                for nm in ("accR", "accG", "accB", "accA"):
+                    s[nm] = s[nm] * zf
+                s["mode"] = jnp.where(
+                    have, MODE_REGEN,
+                    jnp.where(need, MODE_INACTIVE, s["mode"]))
+                cursor = cursor + jnp.sum(jnp.where(have, 1, 0)).astype(
+                    i32).reshape(1, 1)
+                return s, cursor
+
         def step(s, do_escape=True):
             s = phase_regen(s)
             s = phase_march(s)
@@ -842,27 +954,53 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             s = phase_finish(s, do_escape=do_escape)
             return s
 
-        def cond(c):
-            it = c[0]
-            mode = c[1 + STATE_KEYS.index("mode")]
-            return jnp.any(mode != MODE_INACTIVE) & (it[0, 0] < max_iters)
+        if queue_items:
+            def cond(c):
+                it, cursor = c[0], c[1]
+                mode = c[2 + keys.index("mode")]
+                item = c[2 + keys.index("item")]
+                live = (jnp.any(mode != MODE_INACTIVE)
+                        | (cursor[0, 0] < n_items)
+                        | jnp.any(item >= 0))
+                return live & (it[0, 0] < max_iters)
 
-        def body(c):
-            it = c[0]
-            s = dict(zip(STATE_KEYS, c[1:]))
-            for i in range(unroll):
-                # env fetch on every escape_every-th slot (and always on
-                # the last so a drain can't stall with parked escapes)
-                do_esc = ((i + 1) % escape_every == 0) or i == unroll - 1
-                s = step(s, do_escape=do_esc)
-            return (it + unroll,) + tuple(s[k] for k in STATE_KEYS)
+            def body(c):
+                it, cursor = c[0], c[1]
+                s = dict(zip(keys, c[2:]))
+                s, cursor = dequeue(s, cursor)
+                for i in range(unroll):
+                    do_esc = ((i + 1) % escape_every == 0) \
+                        or i == unroll - 1
+                    s = step(s, do_escape=do_esc)
+                return (it + unroll, cursor) + tuple(s[k] for k in keys)
 
-        init = (jnp.zeros((1, 1), i32),) + tuple(
-            s[k] for k in STATE_KEYS)
-        out = lax.while_loop(cond, body, init)
-        # per-strip while-iteration count (diagnostics: drain-tail
-        # inflation = iters * lanes / (pixels * spp * steps_per_sample))
-        oit_ref[:] = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
+            init = (jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32)) \
+                + tuple(s[k] for k in keys)
+            out = lax.while_loop(cond, body, init)
+            oit_ref[:] = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
+        else:
+            def cond(c):
+                it = c[0]
+                mode = c[1 + keys.index("mode")]
+                return jnp.any(mode != MODE_INACTIVE) \
+                    & (it[0, 0] < max_iters)
+
+            def body(c):
+                it = c[0]
+                s = dict(zip(keys, c[1:]))
+                for i in range(unroll):
+                    # env fetch on every escape_every-th slot (and always
+                    # on the last so a drain can't stall parked escapes)
+                    do_esc = ((i + 1) % escape_every == 0) \
+                        or i == unroll - 1
+                    s = step(s, do_escape=do_esc)
+                return (it + unroll,) + tuple(s[k] for k in keys)
+
+            init = (jnp.zeros((1, 1), i32),) + tuple(s[k] for k in keys)
+            out = lax.while_loop(cond, body, init)
+            # per-strip while-iteration count (diagnostics: drain-tail
+            # inflation = iters*lanes / (pixels*spp*steps_per_sample))
+            oit_ref[:] = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
 
     return kernel
 
@@ -871,19 +1009,25 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
     jax.jit,
     static_argnames=("meta", "width", "n_strips", "spp", "k_march",
                      "test_every", "unroll", "escape_every", "compact",
-                     "interpret"),
+                     "queue_items", "interpret"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
-                       compact, interpret):
+                       compact, queue_items, interpret):
     max_iters = (2048 + 512 * spp) * 8
+    if queue_items:
+        max_iters = max_iters * (queue_items // 1024 + 1)
     kernel = _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                          max_iters, escape_every, compact)
+                          max_iters, escape_every, compact, queue_items)
 
-    out_shape = [jax.ShapeDtypeStruct((n_strips * 8, 128), f32)
-                 for _ in range(5)]
-    out_specs = [pl.BlockSpec((8, 128), lambda k: (k, 0),
-                              memory_space=pltpu.VMEM) for _ in range(5)]
+    img_rows = (queue_items // 128) if queue_items else 8
+    out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
+                 for _ in range(4)]
+    out_shape.append(jax.ShapeDtypeStruct((n_strips * 8, 128), f32))
+    out_specs = [pl.BlockSpec((img_rows, 128), lambda k: (k, 0),
+                              memory_space=pltpu.VMEM) for _ in range(4)]
+    out_specs.append(pl.BlockSpec((8, 128), lambda k: (k, 0),
+                                  memory_space=pltpu.VMEM))
 
     def tab_spec(arr):
         # constant index map: the pipeline fetches each table ONCE and
@@ -918,16 +1062,17 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
       pool["ler"], pool["leg"], pool["leb"],
       tabs["env_r"], tabs["env_g"], tabs["env_b"])
     r, g, b, a, iters = outs
-    n_pix = n_strips * 1024
+    n_pix = n_strips * img_rows * 128
     img = jnp.stack(
         [r.reshape(n_pix), g.reshape(n_pix), b.reshape(n_pix),
          a.reshape(n_pix)], axis=-1)
-    return img, iters[::8, 0]  # one iteration count per strip
+    return img, iters[::8, 0]  # one iteration count per grid instance
 
 
 def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   k_march=8, test_every=4, unroll=2, escape_every=2,
-                  compact=True, interpret=None, return_iters=False):
+                  compact=True, queue_items=None, interpret=None,
+                  return_iters=False):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -936,11 +1081,19 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         raise ValueError("pallas engine needs n_pix % 1024 == 0")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if queue_items is None:
+        queue_items = 0
+    else:
+        queue_items = min(int(queue_items), n_pix)
+        if n_pix % queue_items:
+            raise ValueError("n_pix must divide into queue super-blocks")
+    grid_n = (n_pix // queue_items) if queue_items else (n_pix // 1024)
     tabs = {k: v for k, v in packed._asdict().items() if k != "meta"}
     img, iters = _render_strips_jit(
-        tabs, pool, pf, pi, packed.meta, int(width), n_pix // 1024,
+        tabs, pool, pf, pi, packed.meta, int(width), grid_n,
         int(spp), int(k_march), int(test_every), int(unroll),
-        int(escape_every), bool(compact), bool(interpret))
+        int(escape_every), bool(compact), int(queue_items),
+        bool(interpret))
     if return_iters:
         return img, iters
     return img
