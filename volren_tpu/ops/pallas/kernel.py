@@ -835,10 +835,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         # ---- init state
         zero = jnp.zeros(LANES, f32)
         zeroi = jnp.zeros(LANES, i32)
-        or_ref[:] = zero
-        og_ref[:] = zero
-        ob_ref[:] = zero
-        oa_ref[:] = zero
+        ozero = jnp.zeros(or_ref.shape, f32)
+        or_ref[:] = ozero
+        og_ref[:] = ozero
+        ob_ref[:] = ozero
+        oa_ref[:] = ozero
         oit_ref[:] = zero
         s = {
             "mode": jnp.full(LANES, MODE_REGEN, i32),
