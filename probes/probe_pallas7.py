@@ -60,8 +60,8 @@ def main():
     for res in (1024, 256):
         n_pix = res * res
         pf, pi = build_params_rows(scene, params, res, res, 0)
-        for qi, te, un, ee in ((65536, 4, 2, 2), (65536, 2, 2, 2),
-                               (16384, 4, 2, 2), (65536, 4, 4, 4)):
+        for qi, te, un, ee in ((65536, 2, 2, 2), (65536, 2, 1, 1),
+                               (65536, 4, 2, 2), (65536, 2, 2, 1)):
             if qi > n_pix:
                 qi = n_pix
             try:
