@@ -397,7 +397,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
     mip_dims = meta.mip_dims          # ((z,y,x) x 4), level 0 = bricks
     mip_offsets = meta.mip_offsets
     EH, EW = meta.env_h, meta.env_w
-    W = width                         # static: px/py need integer div/mod
+    W = width
+    ESCAPE_ROUNDS = 3  # 384 escapes served per escape step                         # static: px/py need integer div/mod
 
     def kernel(pf_ref, pi_ref, atlas_ref, mslot_ref, mlo_ref, mhi_ref,
                mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb,
@@ -769,12 +770,16 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             # (the megakernel's alternating-escape scheduling: parked
             # lanes draw nothing, output unchanged, tails a bit longer)
             if do_escape:
-                esc = event == EV_EXT_EXIT
+                esc0 = event == EV_EXT_EXIT
                 if compact:
-                    rank, _ = _prefix_ranks(esc)
-                    esc = esc & (rank < 128)  # overflow escapes park
+                    # escapes BURST (sky regions: most lanes escape at
+                    # once — EV_EXT_EXIT p-max 0.93, NOTES.md); serve
+                    # escape_rounds x 128 per step so the cap doesn't
+                    # park whole sky super-blocks
+                    rank0, _ = _prefix_ranks(esc0)
+                    esc = esc0 & (rank0 < 128 * ESCAPE_ROUNDS)
                 else:
-                    rank = None
+                    esc = esc0
                 idir = _mat3_vec(env_inv, pd)
                 uu = _atan2(idir[2], idir[0]) * f32(1.0 / (2.0 * M_PI)) \
                     + 0.5
@@ -790,8 +795,16 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 yc = jnp.clip(yt, 0, EH - 1)
                 eidx = yc * EW + xw
                 if compact:
-                    er, eg, eb = cfetch(env_t, meta.env_rows, eidx, rank,
-                                        esc)
+                    er = eg = eb = jnp.zeros(LANES, f32)
+                    for rnd in range(ESCAPE_ROUNDS):
+                        m_r = esc & (rank0 >= 128 * rnd) \
+                            & (rank0 < 128 * (rnd + 1))
+                        r_r = rank0 - 128 * rnd
+                        fr, fg, fb = cfetch(env_t, meta.env_rows, eidx,
+                                            r_r, m_r)
+                        er = jnp.where(m_r, fr, er)
+                        eg = jnp.where(m_r, fg, eg)
+                        eb = jnp.where(m_r, fb, eb)
                 else:
                     er, eg, eb = fetch_env(eidx)
                 le_env = (env_strength * er, env_strength * eg,

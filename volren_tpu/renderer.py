@@ -81,6 +81,10 @@ class Renderer:
         self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
             "device_queue" if jax.default_backend() == "tpu" else "device"
         )
+        # pallas megakernel engine knobs (ops/pallas/kernel.py; measured
+        # optimum in probes/results/pallas7.jsonl)
+        self.pallas_test_every = int(os.environ.get("VOLREN_PALLAS_TE", "2"))
+        self.pallas_unroll = int(os.environ.get("VOLREN_PALLAS_UNROLL", "2"))
         # queue-engine knobs (None = auto): lane-array size and samples per
         # work item. csize=None renders each pixel's spp on one lane
         # (bit-identical to the other engines); smaller csize bounds the
@@ -279,8 +283,15 @@ class Renderer:
         pf, pi = build_params_rows(
             scene, params, self._width, self._height, self.sample
         )
+        # work-queue mode over the largest super-block that tiles the
+        # (padded) frame; strips only for frames the queue can't tile
+        import math
+
+        qi = 1024 * math.gcd(n_pad // 1024, 64)
         out = render_strips(
-            self._pallas_packed, pool, pf, pi, n_pad, self._width, spp
+            self._pallas_packed, pool, pf, pi, n_pad, self._width, spp,
+            queue_items=qi, test_every=self.pallas_test_every,
+            unroll=self.pallas_unroll, escape_every=self.pallas_unroll,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
 
