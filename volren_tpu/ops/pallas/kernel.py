@@ -351,11 +351,14 @@ def _compact_gather(tabs, r, c, rows, mask, rank=None, served=None):
 
 
 def _pack_carry(s, keys):
-    """Pack the state dict into THREE wide carries (f32/i32/u32 stacks):
-    the in-kernel while-loop tax is ~0.15 us per carried ARRAY per
-    iteration (probes pallas4 X3), so ~46 loose (8,128) carries cost
-    more than the step's compute. Static slices in/out are vreg moves.
-    Bool fields ride as i32 via the callers (none carried as bool)."""
+    """Pack the state dict into THREE wide carries (f32/i32/u32 stacks).
+
+    RETIRED as the default: the loose-carry tax (~0.15 us/array/iter,
+    pallas4 X3) is real, but packing the ~46-field state through
+    per-iteration concatenates blew the Mosaic compile up past 70
+    MINUTES for the queue kernel (vs ~16 min loose) — an unusable trade
+    on a runtime whose cold compiles already dominate bench budgets.
+    Kept for reference/experiments."""
     f_keys = [k for k in keys if s[k].dtype == f32]
     i_keys = [k for k in keys if s[k].dtype == i32]
     u_keys = [k for k in keys if s[k].dtype == u32]
@@ -997,48 +1000,46 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         if queue_items:
             def cond(c):
                 it, cursor = c[0], c[1]
-                sx = _unpack_carry(c[2:], layout)
-                live = (jnp.any(sx["mode"] != MODE_INACTIVE)
+                mode = c[2 + keys.index("mode")]
+                item = c[2 + keys.index("item")]
+                live = (jnp.any(mode != MODE_INACTIVE)
                         | (cursor[0, 0] < n_items)
-                        | jnp.any(sx["item"] >= 0))
+                        | jnp.any(item >= 0))
                 return live & (it[0, 0] < max_iters)
 
             def body(c):
                 it, cursor = c[0], c[1]
-                s = _unpack_carry(c[2:], layout)
+                s = dict(zip(keys, c[2:]))
                 s, cursor = dequeue(s, cursor)
                 for i in range(unroll):
                     do_esc = ((i + 1) % escape_every == 0) \
                         or i == unroll - 1
                     s = step(s, do_escape=do_esc)
-                return (it + unroll, cursor) + _pack_carry(s, keys)[0]
+                return (it + unroll, cursor) + tuple(s[k] for k in keys)
 
-            packed0, layout = _pack_carry(s, keys)
             init = (jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32)) \
-                + packed0
+                + tuple(s[k] for k in keys)
             out = lax.while_loop(cond, body, init)
             oit_ref[:] = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
         else:
-            packed0, layout = _pack_carry(s, keys)
-
             def cond(c):
                 it = c[0]
-                sx = _unpack_carry(c[1:], layout)
-                return jnp.any(sx["mode"] != MODE_INACTIVE) \
+                mode = c[1 + keys.index("mode")]
+                return jnp.any(mode != MODE_INACTIVE) \
                     & (it[0, 0] < max_iters)
 
             def body(c):
                 it = c[0]
-                s = _unpack_carry(c[1:], layout)
+                s = dict(zip(keys, c[1:]))
                 for i in range(unroll):
                     # env fetch on every escape_every-th slot (and always
                     # on the last so a drain can't stall parked escapes)
                     do_esc = ((i + 1) % escape_every == 0) \
                         or i == unroll - 1
                     s = step(s, do_escape=do_esc)
-                return (it + unroll,) + _pack_carry(s, keys)[0]
+                return (it + unroll,) + tuple(s[k] for k in keys)
 
-            init = (jnp.zeros((1, 1), i32),) + packed0
+            init = (jnp.zeros((1, 1), i32),) + tuple(s[k] for k in keys)
             out = lax.while_loop(cond, body, init)
             # per-strip while-iteration count (diagnostics: drain-tail
             # inflation = iters*lanes / (pixels*spp*steps_per_sample))
