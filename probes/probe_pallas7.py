@@ -60,13 +60,15 @@ def main():
     for res in (1024, 256):
         n_pix = res * res
         pf, pi = build_params_rows(scene, params, res, res, 0)
-        for qi, te, un, ee in ((65536, 2, 2, 2), (65536, 2, 1, 1),
-                               (65536, 4, 2, 2), (65536, 2, 2, 1)):
+        for qi, te, un, ee, km in ((65536, 2, 2, 1, 8),
+                                   (65536, 2, 2, 1, 16),
+                                   (65536, 2, 2, 2, 8),
+                                   (65536, 3, 3, 1, 12)):
             if qi > n_pix:
                 qi = n_pix
             try:
                 kw = dict(test_every=te, unroll=un, escape_every=ee,
-                          queue_items=qi, return_iters=True)
+                          k_march=km, queue_items=qi, return_iters=True)
                 t0 = time.time()
                 img, iters = render_strips(packed, pool, pf, pi, n_pix,
                                            res, SPP, **kw)
@@ -81,7 +83,7 @@ def main():
                 wf_steps = float(it.sum())
                 infl = wf_steps * 1024 / (n_pix * SPP * 4.3)
                 emit({"stage": f"queue_{res}", "qi": qi, "te": te,
-                      "unroll": un, "ee": ee, "ok": True,
+                      "unroll": un, "ee": ee, "km": km, "ok": True,
                       "warm_s": round(warm, 2), "cold_s": round(cold, 2),
                       "spp_per_s": round(SPP / warm, 2),
                       "iters_mean": round(float(it.mean()), 1),

@@ -268,6 +268,7 @@ def _scan_gather(tabs, r, c, rows):
     measures below timing noise, results/pallas5.jsonl). r MUST be in
     [0, rows), c in [0, 128)."""
     iota_n = jax.lax.broadcasted_iota(i32, (rows, 128), 0)
+    ones = jnp.ones((1, rows), f32)
     out_rows = [[] for _ in tabs]
     for i in range(8):
         c_b = jnp.broadcast_to(c[i:i + 1, :], (rows, 128))
@@ -275,9 +276,19 @@ def _scan_gather(tabs, r, c, rows):
         hit = iota_n == r_b
         for k, t in enumerate(tabs):
             G = jnp.take_along_axis(t, c_b, axis=1)
-            zero = jnp.zeros((), t.dtype)
-            out_rows[k].append(jnp.sum(jnp.where(hit, G, zero), axis=0,
-                                       keepdims=True))
+            if t.dtype == f32:
+                # row-sum on the MXU: exactly one nonzero per column
+                # (the hit row) so the f32 matmul is exact
+                masked = jnp.where(hit, G, 0.0)
+                v = jax.lax.dot_general(
+                    ones, masked, (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32)
+            else:
+                # i32 payloads (the packed atlas words) exceed f32's
+                # exact integer range — keep the native-dtype sum
+                v = jnp.sum(jnp.where(hit, G, jnp.zeros((), t.dtype)),
+                            axis=0, keepdims=True)
+            out_rows[k].append(v)
     return [jnp.concatenate(rs, axis=0) for rs in out_rows]
 
 
@@ -335,12 +346,18 @@ def _compact_gather(tabs, r, c, rows, mask, rank=None, served=None):
     cb = jnp.broadcast_to(c_c, (rows, 128))
     rb = jnp.broadcast_to(r_c, (rows, 128))
     hit = iota_n == rb
+    ones = jnp.ones((1, rows), f32)
     outs0 = []
     for t in tabs:
         G = jnp.take_along_axis(t, cb, axis=1)
-        zero = jnp.zeros((), t.dtype)
-        outs0.append(jnp.sum(jnp.where(hit, G, zero), axis=0,
-                             keepdims=True))
+        if t.dtype == f32:
+            masked = jnp.where(hit, G, 0.0)  # one hit per column: exact
+            v = jax.lax.dot_general(ones, masked, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=f32)
+        else:
+            v = jnp.sum(jnp.where(hit, G, jnp.zeros((), t.dtype)),
+                        axis=0, keepdims=True)
+        outs0.append(v)
     # route back: lane (i,j) reads slot rank[i,j] (one (8,128) shuffle
     # per table; (1,128) dynamic_gather operands fail Mosaic's tiling)
     outs = []
@@ -401,7 +418,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
     mip_offsets = meta.mip_offsets
     EH, EW = meta.env_h, meta.env_w
     W = width
-    ESCAPE_ROUNDS = 3  # 384 escapes served per escape step                         # static: px/py need integer div/mod
+    # escape serve capacity per escape step: steady-state demand is the
+    # sample completion rate (~1024/7 steps ~ 146/step at the measured
+    # inflation), so 2 rounds (256) cover it; 3 measured +8 us/step for
+    # no extra inflation win once ee=1 (pallas7.jsonl)
+    ESCAPE_ROUNDS = 2                         # static: px/py need integer div/mod
 
     def kernel(pf_ref, pi_ref, atlas_ref, mslot_ref, mlo_ref, mhi_ref,
                mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb,
