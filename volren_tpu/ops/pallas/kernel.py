@@ -85,17 +85,16 @@ STATE_KEYS = (
 # ---------------------------------------------------------------------------
 
 def _tea(v0, v1, rounds=32):
-    def body(_, c):
-        v0, v1, s0 = c
+    # unrolled (Python loop, straight-line code): a Mosaic scf.for pays
+    # per-iteration loop overhead on a 12-op body; the s0 schedule is a
+    # compile-time constant when unrolled. Bit-exact with ops/rng.tea.
+    s0 = u32(0)
+    for _ in range(rounds):
         s0 = s0 + u32(0x9E3779B9)
         v0 = v0 + (((v1 << 4) + u32(0xA341316C)) ^ (v1 + s0)
                    ^ ((v1 >> 5) + u32(0xC8013EA4)))
         v1 = v1 + (((v0 << 4) + u32(0xAD90777D)) ^ (v0 + s0)
                    ^ ((v0 >> 5) + u32(0x7E95761E)))
-        return v0, v1, s0
-
-    v0, v1, _ = lax.fori_loop(0, rounds, body,
-                              (v0, v1, jnp.zeros_like(v0)))
     return v0
 
 
@@ -314,57 +313,105 @@ def _prefix_ranks(mask):
     return rank, acc[0, 0]
 
 
-def _compact_gather(tabs, r, c, rows, mask, rank=None, served=None):
-    """Fetch tabs[k][r, c] for up to 128 ``mask`` lanes with ONE table
-    scan instead of 8 (the per-sublane passes of _scan_gather are the
-    dominant fetch cost; active fetches are sparse — mean EV_TEST rate
-    0.85%/lane-step, NOTES.md). Returns (outs, served): lanes with
-    rank >= 128 are NOT fetched this call — callers defer them (pure
-    scheduling, bit-exact; the parked lane retries next resolve)."""
-    if rank is None:
-        rank, _total = _prefix_ranks(mask)
-        served = mask & (rank < 128)
-    rankc = jnp.where(served, rank, 127)
-    # compact (r, c) into row vectors: rc[0, k] = value of the lane with
-    # rank k. Per sublane row: K[k, j] = (rank_i[j] == k & served),
-    # contrib[k] = sum_j r_i[j] * K — an axis-1 reduce, then transpose.
+def _compact_rows(vals, rankc, served):
+    """Compact (8,128) lane values into (1,128) rank-slot rows: slot k
+    gets the value of the lane with rankc == k (and ``served``); empty
+    slots get 0. The K selection mask is built once per sublane row and
+    shared across all fields."""
     iota_k = jax.lax.broadcasted_iota(i32, (128, 128), 0)
-    r_c = jnp.zeros((1, 128), i32)
-    c_c = jnp.zeros((1, 128), i32)
+    outs = [jnp.zeros((1, 128), v.dtype) for v in vals]
     for irow in range(8):
         K = (iota_k == jnp.broadcast_to(rankc[irow:irow + 1, :],
                                         (128, 128))) \
             & jnp.broadcast_to(served[irow:irow + 1, :], (128, 128))
-        r_c = r_c + jnp.sum(
-            jnp.where(K, jnp.broadcast_to(r[irow:irow + 1, :], (128, 128)),
-                      0), axis=1, keepdims=True).T
-        c_c = c_c + jnp.sum(
-            jnp.where(K, jnp.broadcast_to(c[irow:irow + 1, :], (128, 128)),
-                      0), axis=1, keepdims=True).T
-    # one-pass scan for the compacted row
-    iota_n = jax.lax.broadcasted_iota(i32, (rows, 128), 0)
-    cb = jnp.broadcast_to(c_c, (rows, 128))
-    rb = jnp.broadcast_to(r_c, (rows, 128))
+        for q, v in enumerate(vals):
+            outs[q] = outs[q] + jnp.sum(
+                jnp.where(K, jnp.broadcast_to(v[irow:irow + 1, :],
+                                              (128, 128)),
+                          jnp.zeros((), v.dtype)),
+                axis=1, keepdims=True).T
+    return outs
+
+
+def _scan_rows_block(tabs, r_c, c_c, b0, bn):
+    """One (bn, 128)-block pass of the compacted-row fetch: out_k[0,j] =
+    tabs[k][r_c[0,j], c_c[0,j]] if r_c[0,j] in [b0, b0+bn) else 0."""
+    iota_n = jax.lax.broadcasted_iota(i32, (bn, 128), 0) + b0
+    cb = jnp.broadcast_to(c_c, (bn, 128))
+    rb = jnp.broadcast_to(r_c, (bn, 128))
     hit = iota_n == rb
-    ones = jnp.ones((1, rows), f32)
-    outs0 = []
+    ones = jnp.ones((1, bn), f32)
+    outs = []
     for t in tabs:
-        G = jnp.take_along_axis(t, cb, axis=1)
+        tblk = t if bn == t.shape[0] else \
+            jax.lax.slice_in_dim(t, b0, b0 + bn, axis=0)
+        G = jnp.take_along_axis(tblk, cb, axis=1)
         if t.dtype == f32:
-            masked = jnp.where(hit, G, 0.0)  # one hit per column: exact
+            # row-sum on the MXU: at most one hit row per column — exact
+            masked = jnp.where(hit, G, 0.0)
             v = jax.lax.dot_general(ones, masked, (((1,), (0,)), ((), ())),
                                     preferred_element_type=f32)
         else:
             v = jnp.sum(jnp.where(hit, G, jnp.zeros((), t.dtype)),
                         axis=0, keepdims=True)
-        outs0.append(v)
-    # route back: lane (i,j) reads slot rank[i,j] (one (8,128) shuffle
-    # per table; (1,128) dynamic_gather operands fail Mosaic's tiling)
+        outs.append(v)
+    return outs
+
+
+def _scan_rows(tabs, r_c, c_c, rows, block=0):
+    """Fetch tabs[k][r_c[0,j], c_c[0,j]] -> (1,128) per table: axis1
+    dynamic_gather + a masked row reduce (MXU for f32 — exactly one hit
+    row per column, so the matmul is exact; native sum for integer
+    payloads that exceed f32's exact range).
+
+    block > 0 splits the scan into row blocks, each behind a
+    data-dependent lax.cond: blocks no compacted index lands in are
+    SKIPPED, so the scan cost tracks the spread of the 128 fetches
+    instead of the table height (escape/resolve fetches cluster — rays
+    of one super-block hit nearby bricks / env rows). Bit-exact: a
+    skipped block contributes exactly the 0 it would have summed."""
+    if not block or rows <= block:
+        return _scan_rows_block(tabs, r_c, c_c, 0, rows)
+    outs = tuple(jnp.zeros((1, 128), t.dtype) for t in tabs)
+    for b0 in range(0, rows, block):
+        bn = min(block, rows - b0)
+
+        def do(o, b0=b0, bn=bn):
+            vs = _scan_rows_block(tabs, r_c, c_c, b0, bn)
+            return tuple(a + v for a, v in zip(o, vs))
+
+        pred = jnp.any((r_c >= b0) & (r_c < b0 + bn))
+        outs = lax.cond(pred, do, lambda o: tuple(o), outs)
+    return list(outs)
+
+
+def _route_back(rows_vals, rankc):
+    """Distribute (1,128) rank-slot rows back to lanes: lane (i,j) reads
+    slot rankc[i,j] (one (8,128) shuffle per table; (1,128)
+    dynamic_gather operands fail Mosaic's tiling)."""
     outs = []
-    for o0 in outs0:
+    for o0 in rows_vals:
         o8 = jnp.broadcast_to(o0, (8, 128))
         outs.append(jnp.take_along_axis(o8, rankc, axis=1))
-    return outs, served
+    return outs
+
+
+def _compact_gather(tabs, flat_idx, rows, mask, rank=None, served=None,
+                    block=0):
+    """Fetch tabs[k][flat_idx >> 7, flat_idx & 127] for up to 128
+    ``mask`` lanes with ONE table scan instead of 8 (the per-sublane
+    passes of _scan_gather are the dominant fetch cost; active fetches
+    are sparse — mean EV_TEST rate 0.85%/lane-step, NOTES.md). Returns
+    (outs, served): lanes with rank >= 128 are NOT fetched this call —
+    callers defer them (pure scheduling, bit-exact; the parked lane
+    retries next resolve)."""
+    if rank is None:
+        rank, _total = _prefix_ranks(mask)
+        served = mask & (rank < 128)
+    rankc = jnp.where(served, rank, 127)
+    (idx_c,) = _compact_rows([flat_idx], rankc, served)
+    outs0 = _scan_rows(tabs, idx_c >> 7, idx_c & 127, rows, block=block)
+    return _route_back(outs0, rankc), served
 
 
 def _pack_carry(s, keys):
@@ -400,8 +447,21 @@ def _unpack_carry(packed, layout):
 # the kernel
 # ---------------------------------------------------------------------------
 
+def _rgbe_decode(w):
+    """Decode pack.rgbe_encode words on (8,128) i32 lanes: pure int ops +
+    an exponent bit-trick (scale = 2^(e-135) built by placing e-8 in the
+    f32 exponent field — exact, no transcendentals; Mosaic has no exp2).
+    w == 0 decodes to (-0.0, -0.0, -0.0) == 0."""
+    e = (w >> 24) & 255
+    scale = _bitcast((e - 8) << 23, f32)
+    return ((w & 255).astype(f32) * scale,
+            ((w >> 8) & 255).astype(f32) * scale,
+            ((w >> 16) & 255).astype(f32) * scale)
+
+
 def _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                 max_iters, escape_every, compact, queue_items=0):
+                 max_iters, escape_every, compact, queue_items=0,
+                 env_rgbe=False, probe_dup=()):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; 1024 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -420,14 +480,21 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
     W = width
     # escape serve capacity per escape step: steady-state demand is the
     # sample completion rate (~1024/7 steps ~ 146/step at the measured
-    # inflation), so 2 rounds (256) cover it; 3 measured +8 us/step for
-    # no extra inflation win once ee=1 (pallas7.jsonl)
-    ESCAPE_ROUNDS = 2                         # static: px/py need integer div/mod
+    # inflation). Rounds >= 2 are lax.cond-gated on demand, so extra
+    # capacity costs only when bursts use it (sky super-blocks demand
+    # ~500/step, NOTES.md) — 4 rounds cover the measured burst.
+    ESCAPE_ROUNDS = 4
+    RESOLVE_ROUNDS = 2                        # same scheme for EV_TEST bursts
 
-    def kernel(pf_ref, pi_ref, atlas_ref, mslot_ref, mlo_ref, mhi_ref,
-               mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb,
-               er_tab, eg_tab, eb_tab,
-               or_ref, og_ref, ob_ref, oa_ref, oit_ref):
+    def kernel(*refs):
+        (pf_ref, pi_ref, atlas_ref, mslot_ref, mlo_ref, mhi_ref,
+         mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb) = refs[:14]
+        if env_rgbe:
+            env_refs = refs[14:15]
+            or_ref, og_ref, ob_ref, oa_ref, oit_ref = refs[15:]
+        else:
+            env_refs = refs[14:17]
+            or_ref, og_ref, ob_ref, oa_ref, oit_ref = refs[17:]
         # ---- scalars
         def pf(k, n=1):
             if n == 1:
@@ -477,7 +544,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         mip_t = mip_ref[:]
         pool_t = [pwx[:], pwy[:], pwz[:], ppdf[:], pler[:], pleg[:],
                   pleb[:]]
-        env_t = [er_tab[:], eg_tab[:], eb_tab[:]]
+        env_t = [ref[:] for ref in env_refs]
 
         def fetch_meta(bidx):
             s, lo, hi = _scan_gather(
@@ -497,16 +564,31 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             return ((g32 >> shift) & 255).astype(f32) * f32(1.0 / 255.0)
 
         def fetch_env(eidx):
-            return _scan_gather(env_t, eidx >> 7, eidx & 127,
+            outs = _scan_gather(env_t, eidx >> 7, eidx & 127,
                                 meta.env_rows)
+            if env_rgbe:
+                return _rgbe_decode(outs[0])
+            return outs
 
         def fetch_pool(pidx):
             return _scan_gather(pool_t, pidx >> 7, pidx & 127,
                                 meta.pool_rows)
 
-        def cfetch(tabs, rows, idx, rank, served):
-            return _compact_gather(tabs, idx >> 7, idx & 127, rows,
-                                   None, rank=rank, served=served)[0]
+        def cfetch(tabs, rows, idx, rank, served, block=0):
+            return _compact_gather(tabs, idx, rows, None, rank=rank,
+                                   served=served, block=block)[0]
+
+        # block-skip sizes (static): scans over tall tables run in
+        # lax.cond-skipped row blocks (<= 8 blocks — conds are cheap but
+        # bloat Mosaic compile). Short tables scan in one pass.
+        def _blk(rows):
+            if rows <= 1024:
+                return 0
+            eighth = -(-rows // 8)
+            return -(-eighth // 8) * 8          # ceil(rows/8), 8-aligned
+
+        env_block = _blk(meta.env_rows)
+        atlas_block = _blk(meta.n_slots)
 
 
         # ---- density machinery (ops/grid.py ports)
@@ -586,6 +668,18 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 s[n] = jnp.where(mask, idd[k], s[n])
             for k, n in enumerate(("rix", "riy", "riz")):
                 s[n] = jnp.where(mask, 1.0 / idd[k], s[n])
+            if "setup" in probe_dup:
+                ezf = (s["event"] >> 30).astype(f32)  # 0; CSE-defeat
+                org2 = (org[0] + ezf, org[1], org[2])
+                _h2, n2, f2 = _intersect_box(org2, direction,
+                                             bb_min, bb_max)
+                ip2 = _xform_point(inv_x, org2)
+                idd2 = _xform_vec(inv_x, (direction[0] + ezf,
+                                          direction[1], direction[2]))
+                recip = 1.0 / jnp.where(idd2[0] == 0.0, f32(1.0),
+                                        idd2[0])
+                s["far"] = s["far"] + f32(1e-30) * (
+                    f2 + n2 + ip2[0] + idd2[0] + recip)
             return s
 
         # ---- phases (megakernel.py bodies, SoA)
@@ -609,6 +703,14 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             hf = H.astype(f32)
             pix_x = (pxv.astype(f32) + u1 - wf * 0.5) / hf
             pix_y = (pyv.astype(f32) + u2 - hf * 0.5) / hf
+            if "tea" in probe_dup:
+                # ez is 0 at runtime (event <= 6) but not provably so —
+                # defeats Mosaic's CSE of the duplicate (cost attribution)
+                ez = s["event"] >> 30
+                fresh2 = _tea(seed0 * lane_u + _bitcast(ez, u32),
+                              sample_idx)
+                pix_x = pix_x + f32(1e-30) * _bitcast(
+                    fresh2 & u32(0x00FFFFFF), i32).astype(f32)
             cam_local = (pix_x, pix_y,
                          jnp.full(LANES, 1.0, f32) * z_cam)
             nd = _norm3(_mat3_vec(cam_m, _norm3(cam_local)))
@@ -639,8 +741,12 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             def do(s):
                 s = dict(s)
                 if compact:
-                    rank, _ = _prefix_ranks(test)
-                    act = test & (rank < 128)  # overflow defers (exact)
+                    rank, tot_test = _prefix_ranks(test)
+                    # serve up to 128*ROUNDS this call; rounds >= 2 run
+                    # behind a lax.cond on actual demand (bursts only —
+                    # p90 demand ~2.3%/lane, NOTES.md), true overflow
+                    # defers to the next resolve (pure scheduling, exact)
+                    act = test & (rank < 128 * RESOLVE_ROUNDS)
                 else:
                     rank, act = None, test
                 maj = jnp.where(act, s["tau"], 0.0)
@@ -649,19 +755,80 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                        s["iz0"] + s["t"] * s["idz"])
                 tap, seed = stochastic_tricubic(pos, s["seed"], act)
                 if compact:
+                    # FUSED fetch: one compaction of the flat
+                    # (brick, voxel) key, both table scans in compacted
+                    # space (the meta scan's slot feeds the atlas scan
+                    # directly — no intermediate route-back), one
+                    # route-back of the decoded density. Bitwise equal to
+                    # the two-cfetch form (same arithmetic on the same
+                    # values, shuffled through rank slots).
+                    # bidx*512+voff needs bidx < 2^22 (4.2M bricks) —
+                    # far above the atlas-slot VMEM gate.
                     bidx, voff = brick_index(tap)
-                    slot, lo, hi = cfetch([mslot_t, mlo_t, mhi_t],
-                                          meta.meta_rows, bidx, rank, act)
-                    slot = jnp.clip(slot, 0, meta.n_slots - 1)
-                    g32 = _compact_gather(
-                        [atlas_t], slot, voff >> 2, meta.n_slots, None,
-                        rank=rank, served=act)[0][0]
-                    shift = (voff & 3) * 8
-                    unorm = ((g32 >> shift) & 255).astype(f32) \
-                        * f32(1.0 / 255.0)
-                    d = density_scale * (lo + unorm * (hi - lo))
+                    key = bidx * 512 + voff
+
+                    def serve_resolve(rnd, d):
+                        m_r = act & (rank >= 128 * rnd) \
+                            & (rank < 128 * (rnd + 1))
+                        rankc = jnp.where(m_r, rank - 128 * rnd, 127)
+                        (key_c,) = _compact_rows([key], rankc, m_r)
+                        bidx_c = key_c >> 9
+                        voff_c = key_c & 511
+                        slot_c, lo_c, hi_c = _scan_rows(
+                            [mslot_t, mlo_t, mhi_t], bidx_c >> 7,
+                            bidx_c & 127, meta.meta_rows)
+                        slot_c = jnp.clip(slot_c, 0, meta.n_slots - 1)
+                        (g32_c,) = _scan_rows(
+                            [atlas_t], slot_c, voff_c >> 2, meta.n_slots,
+                            block=atlas_block)
+                        shift_c = (voff_c & 3) * 8
+                        unorm_c = ((g32_c >> shift_c) & 255).astype(f32) \
+                            * f32(1.0 / 255.0)
+                        d_c = lo_c + unorm_c * (hi_c - lo_c)
+                        (d_r,) = _route_back([d_c], rankc)
+                        return jnp.where(m_r, d_r, d)
+
+                    d = jnp.zeros(LANES, f32)
+                    for rnd in range(RESOLVE_ROUNDS):
+                        if rnd == 0:
+                            d = serve_resolve(0, d)
+                        else:
+                            d = lax.cond(tot_test > 128 * rnd,
+                                         partial(serve_resolve, rnd),
+                                         lambda x: x, d)
+                    d = density_scale * d
                 else:
                     d = density_scale * lookup_density_brick(tap)
+                # --- probe instrumentation (cost attribution by duplicate
+                # work folded in at 1e-30; probes/probe_pallas8.py).
+                # ez is 0 at runtime (event <= 6) but not provably so —
+                # it defeats Mosaic's CSE of the duplicates.
+                ez = s["event"] >> 30
+                ezf = ez.astype(f32)
+                if "tricubic" in probe_dup:
+                    tap2, _ = stochastic_tricubic(
+                        (pos[0] + ezf, pos[1], pos[2]), s["seed"], act)
+                    d = d + f32(1e-30) * tap2[0]
+                if "rank" in probe_dup and compact:
+                    rank2, _ = _prefix_ranks(test ^ (ez > 0))
+                    d = d + f32(1e-30) * rank2.astype(f32)
+                if "resolve" in probe_dup and compact:
+                    # duplicate one round-0 serve (the common case)
+                    rankc = jnp.where(act & (rank < 128), rank, 127)
+                    (key2_c,) = _compact_rows([key + ez], rankc,
+                                              act & (rank < 128))
+                    slot2_c, lo2_c, hi2_c = _scan_rows(
+                        [mslot_t, mlo_t, mhi_t], key2_c >> 16,
+                        (key2_c >> 9) & 127, meta.meta_rows)
+                    slot2_c = jnp.clip(slot2_c, 0, meta.n_slots - 1)
+                    (g32b_c,) = _scan_rows([atlas_t], slot2_c,
+                                           (key2_c >> 2) & 127,
+                                           meta.n_slots,
+                                           block=atlas_block)
+                    (d2,) = _route_back(
+                        [lo2_c + hi2_c + (g32b_c & 255).astype(f32)],
+                        rankc)
+                    d = d + f32(1e-30) * d2
                 seed, u_cls = _rng(seed, act)
                 real = act & (u_cls * jnp.maximum(maj, 0.0) < d)
                 redraw = act & ~real
@@ -691,6 +858,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                         s["iz0"] + s["t"] * s["idz"])
                 mip_i = _round_half_even(s["mip"])
                 maj = majorant_at(curr, mip_i)
+                if "mip" in probe_dup:
+                    ez = s["event"] >> 30   # 0, but not provably (CSE)
+                    maj = maj + f32(1e-30) * majorant_at(
+                        (curr[0] + ez.astype(f32), curr[1], curr[2]),
+                        mip_i + ez)
                 dim = (8 << mip_i).astype(f32)
                 ri = (s["rix"], s["riy"], s["riz"])
                 dts = []
@@ -699,6 +871,17 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     dts.append((jnp.floor(curr[k] / dim) * dim + offs
                                 - curr[k]) * ri[k])
                 dt = jnp.minimum(dts[0], jnp.minimum(dts[1], dts[2]))
+                if "march" in probe_dup:
+                    ezf = (s["event"] >> 30).astype(f32)  # 0; CSE-defeat
+                    dts2 = []
+                    for k in range(3):
+                        offs2 = jnp.where(ri[k] >= ezf, dim + 0.5,
+                                          f32(-0.5))
+                        dts2.append((jnp.floor((curr[k] + ezf) / dim)
+                                     * dim + offs2 - curr[k]) * ri[k])
+                    dt2 = jnp.minimum(dts2[0],
+                                      jnp.minimum(dts2[1], dts2[2]))
+                    dt = dt + f32(1e-30) * dt2
                 t_adv = s["t"] + dt
                 tau_adv = s["tau"] - maj * dt
                 mip_up = jnp.minimum(s["mip"] + 0.25, 3.0)
@@ -743,6 +926,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                         pool_t, meta.pool_rows, pidx, rank, act)
                 else:
                     wx, wy, wz, pdf_nee, ler, leg, leb = fetch_pool(pidx)
+                if "nee" in probe_dup and compact:
+                    ez = s["event"] >> 30   # 0, but not provably (CSE)
+                    dup = cfetch(pool_t, meta.pool_rows, pidx + ez,
+                                 rank, act)
+                    wx = wx + f32(1e-30) * dup[0]
                 w_i = (wx, wy, wz)
                 le = (ler, leg, leb)
                 thr = (s["thx"] * albedo[0], s["thy"] * albedo[1],
@@ -799,8 +987,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     # escapes BURST (sky regions: most lanes escape at
                     # once — EV_EXT_EXIT p-max 0.93, NOTES.md); serve
                     # escape_rounds x 128 per step so the cap doesn't
-                    # park whole sky super-blocks
-                    rank0, _ = _prefix_ranks(esc0)
+                    # park whole sky super-blocks. Rounds >= 2 run behind
+                    # a lax.cond on demand: steady state (~sample
+                    # completion rate, well under 128/step) pays ONE env
+                    # scan; bursts pay as many as they fill.
+                    rank0, tot_esc = _prefix_ranks(esc0)
                     esc = esc0 & (rank0 < 128 * ESCAPE_ROUNDS)
                 else:
                     esc = esc0
@@ -810,6 +1001,13 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 vv = 1.0 - _acos(idir[1]) * f32(1.0 / M_PI)
                 x = uu * EW - 0.5
                 y = vv * EH - 0.5
+                if "uv" in probe_dup:
+                    ezf = (s["event"] >> 30).astype(f32)  # 0; CSE-defeat
+                    idir2 = _mat3_vec(env_inv,
+                                      (pd[0] + ezf, pd[1], pd[2]))
+                    uu2 = _atan2(idir2[2], idir2[0])
+                    vv2 = _acos(idir2[1])
+                    x = x + f32(1e-30) * (uu2 + vv2)
                 seed, rx = _rng(seed, esc)
                 seed, ry = _rng(seed, esc)
                 xt = jnp.floor(x + rx).astype(i32)
@@ -819,18 +1017,47 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 yc = jnp.clip(yt, 0, EH - 1)
                 eidx = yc * EW + xw
                 if compact:
-                    er = eg = eb = jnp.zeros(LANES, f32)
-                    for rnd in range(ESCAPE_ROUNDS):
+                    def serve_escape(rnd, ergb):
+                        er, eg, eb = ergb
                         m_r = esc & (rank0 >= 128 * rnd) \
                             & (rank0 < 128 * (rnd + 1))
                         r_r = rank0 - 128 * rnd
-                        fr, fg, fb = cfetch(env_t, meta.env_rows, eidx,
-                                            r_r, m_r)
-                        er = jnp.where(m_r, fr, er)
-                        eg = jnp.where(m_r, fg, eg)
-                        eb = jnp.where(m_r, fb, eb)
+                        if env_rgbe:
+                            (w8,) = cfetch(env_t, meta.env_rows, eidx,
+                                           r_r, m_r, block=env_block)
+                            fr, fg, fb = _rgbe_decode(w8)
+                        else:
+                            fr, fg, fb = cfetch(env_t, meta.env_rows,
+                                                eidx, r_r, m_r,
+                                                block=env_block)
+                        return (jnp.where(m_r, fr, er),
+                                jnp.where(m_r, fg, eg),
+                                jnp.where(m_r, fb, eb))
+
+                    zero3 = jnp.zeros(LANES, f32)
+                    ergb = (zero3, zero3, zero3)
+                    for rnd in range(ESCAPE_ROUNDS):
+                        if rnd == 0:
+                            ergb = serve_escape(0, ergb)
+                        else:
+                            ergb = lax.cond(tot_esc > 128 * rnd,
+                                            partial(serve_escape, rnd),
+                                            lambda x: tuple(x), ergb)
+                    er, eg, eb = ergb
                 else:
                     er, eg, eb = fetch_env(eidx)
+                if "escape" in probe_dup and compact:
+                    # duplicate one round-0 serve (the common case)
+                    ez = s["event"] >> 30   # 0, but not provably (CSE)
+                    m_r = esc & (rank0 < 128)
+                    outs2 = cfetch(env_t, meta.env_rows, eidx + ez,
+                                   rank0, m_r, block=env_block)
+                    if env_rgbe:
+                        fr2, fg2, fb2 = _rgbe_decode(outs2[0])
+                    else:
+                        fr2, fg2, fb2 = outs2
+                    er = er + f32(1e-30) * jnp.where(m_r, fr2 + fg2 + fb2,
+                                                     0.0)
                 le_env = (env_strength * er, env_strength * eg,
                           env_strength * eb)
                 pdf_esc = _luma(le_env) / imp_avg * f32(INV_4PI)
@@ -870,6 +1097,13 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
             end = esc | capped | killed
             alpha = jnp.clip(s["n_paths"].astype(f32), 0.0, 1.0)
+            if "finisharith" in probe_dup:
+                ezf = (event >> 30).astype(f32)       # 0; CSE-defeat
+                sc2 = _sample_hg((pd[0] + ezf, pd[1], pd[2]), phase_g,
+                                 s0, s1)
+                f_p2 = _hg_phase(-(pd[0] * sc2[0] + pd[1] * sc2[1]
+                                   + pd[2] * sc2[2]), phase_g)
+                alpha = alpha + f32(1e-30) * f_p2
             sr, sg, sb = (_sanitize(L[0]), _sanitize(L[1]),
                           _sanitize(L[2]))
             sa = _sanitize(alpha)
@@ -934,6 +1168,10 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             s["spp_done"] = jnp.full(LANES, spp, i32)
             keys = STATE_KEYS + ("px", "py", "item",
                                  "accR", "accG", "accB", "accA")
+            if "carry8" in probe_dup:
+                for q in range(8):
+                    s[f"dum{q}"] = zero
+                keys = keys + tuple(f"dum{q}" for q in range(8))
             n_items = queue_items
 
             def scatter_flush(s, mask, rank):
@@ -944,20 +1182,9 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 v=0)."""
                 served = mask & (rank < 128)
                 rankc = jnp.where(served, rank, 127)
-                iota_k = jax.lax.broadcasted_iota(i32, (128, 128), 0)
-                comp = [jnp.zeros((1, 128), f32) for _ in range(5)]
-                vals = (s["item"].astype(f32), s["accR"], s["accG"],
-                        s["accB"], s["accA"])
-                for irow in range(8):
-                    K = (iota_k == jnp.broadcast_to(
-                        rankc[irow:irow + 1, :], (128, 128))) \
-                        & jnp.broadcast_to(served[irow:irow + 1, :],
-                                           (128, 128))
-                    for q, v in enumerate(vals):
-                        comp[q] = comp[q] + jnp.sum(
-                            jnp.where(K, jnp.broadcast_to(
-                                v[irow:irow + 1, :], (128, 128)), 0.0),
-                            axis=1, keepdims=True).T
+                comp = _compact_rows(
+                    [s["item"].astype(f32), s["accR"], s["accG"],
+                     s["accB"], s["accA"]], rankc, served)
                 it_c = comp[0].astype(i32)         # (1,128), 0 if empty
                 rowi = (it_c >> 7).T               # (128,1)
                 coli = (it_c & 127).T
@@ -993,6 +1220,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 flush = serve & (s["item"] >= 0)
                 served = scatter_flush(s, flush, rank)
                 del served
+                if "flush" in probe_dup:
+                    s2 = dict(s)
+                    for nm in ("accR", "accG", "accB", "accA"):
+                        s2[nm] = s[nm] * f32(1e-30)
+                    scatter_flush(s2, flush, rank)
                 new_item = cursor[0, 0] + rank
                 have = serve & (new_item < n_items)
                 s["item"] = jnp.where(have, new_item,
@@ -1036,12 +1268,19 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     do_esc = ((i + 1) % escape_every == 0) \
                         or i == unroll - 1
                     s = step(s, do_escape=do_esc)
+                if "carry8" in probe_dup:
+                    for q in range(8):
+                        s[f"dum{q}"] = s[f"dum{q}"] + 1.0
                 return (it + unroll, cursor) + tuple(s[k] for k in keys)
 
             init = (jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32)) \
                 + tuple(s[k] for k in keys)
             out = lax.while_loop(cond, body, init)
-            oit_ref[:] = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
+            oit = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
+            if "carry8" in probe_dup:
+                for q in range(8):
+                    oit = oit + f32(1e-30) * out[2 + keys.index(f"dum{q}")]
+            oit_ref[:] = oit
         else:
             def cond(c):
                 it = c[0]
@@ -1073,16 +1312,18 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
     jax.jit,
     static_argnames=("meta", "width", "n_strips", "spp", "k_march",
                      "test_every", "unroll", "escape_every", "compact",
-                     "queue_items", "interpret"),
+                     "queue_items", "interpret", "env_rgbe", "probe_dup"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
-                       compact, queue_items, interpret):
+                       compact, queue_items, interpret, env_rgbe=False,
+                       probe_dup=()):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
     kernel = _make_kernel(meta, width, spp, k_march, test_every, unroll,
-                          max_iters, escape_every, compact, queue_items)
+                          max_iters, escape_every, compact, queue_items,
+                          env_rgbe=env_rgbe, probe_dup=probe_dup)
 
     img_rows = (queue_items // 128) if queue_items else 8
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -1101,11 +1342,12 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
 
     table_order = ("atlas_p", "meta_slot", "meta_lo", "meta_hi", "mip_maj")
     pool_order = ("wx", "wy", "wz", "pdf", "ler", "leg", "leb")
+    env_keys = ("env_rgbe",) if env_rgbe else ("env_r", "env_g", "env_b")
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [tab_spec(tabs[k]) for k in table_order]
         + [tab_spec(pool[k]) for k in pool_order]
-        + [tab_spec(tabs[k]) for k in ("env_r", "env_g", "env_b")]
+        + [tab_spec(tabs[k]) for k in env_keys]
     )
 
     kwargs = {}
@@ -1124,7 +1366,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
       tabs["meta_hi"], tabs["mip_maj"],
       pool["wx"], pool["wy"], pool["wz"], pool["pdf"],
       pool["ler"], pool["leg"], pool["leb"],
-      tabs["env_r"], tabs["env_g"], tabs["env_b"])
+      *(tabs[k] for k in env_keys))
     r, g, b, a, iters = outs
     n_pix = n_strips * img_rows * 128
     img = jnp.stack(
@@ -1136,7 +1378,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
 def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   k_march=8, test_every=4, unroll=2, escape_every=2,
                   compact=True, queue_items=None, interpret=None,
-                  return_iters=False):
+                  return_iters=False, env_rgbe=True, probe_dup=()):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -1157,7 +1399,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         tabs, pool, pf, pi, packed.meta, int(width), grid_n,
         int(spp), int(k_march), int(test_every), int(unroll),
         int(escape_every), bool(compact), int(queue_items),
-        bool(interpret))
+        bool(interpret), env_rgbe=bool(env_rgbe),
+        probe_dup=tuple(probe_dup))
     if return_iters:
         return img, iters
     return img

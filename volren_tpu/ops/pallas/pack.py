@@ -87,7 +87,39 @@ class PackedScene(NamedTuple):
     env_r: jnp.ndarray       # (Ep, 128) float32
     env_g: jnp.ndarray
     env_b: jnp.ndarray
+    env_rgbe: jnp.ndarray    # (Ep, 128) int32 shared-exponent pack
     meta: PackedMeta
+
+
+def rgbe_encode(rgb):
+    """(N, 3) f32 -> (N,) i32 shared-exponent pack: 8-bit mantissas +
+    8-bit exponent of the max channel (the Radiance-HDR idea — the
+    reference's .hdr assets carry exactly this precision natively).
+    Decode contract (kernel._rgbe_decode): c = mi * 2^(e_stored - 135).
+    Worst-case relative error 1/256 on the max channel; used ONLY for
+    the Pallas engine's escape fetch, where it cuts the dominant
+    (env_rows, 128) table scan from three tables to one."""
+    rgb = jnp.maximum(rgb, 0.0)
+    m = jnp.max(rgb, axis=-1)
+    e = jnp.floor(jnp.log2(jnp.maximum(m, 1e-37))).astype(jnp.int32)
+    e = jnp.clip(e, -119, 119)
+    scale = jnp.exp2(7.0 - e.astype(jnp.float32))
+    mi = jnp.minimum(jnp.round(rgb * scale[:, None]), 255.0).astype(
+        jnp.int32)
+    word = mi[:, 0] | (mi[:, 1] << 8) | (mi[:, 2] << 16) | ((e + 128) << 24)
+    return jnp.where(m >= 2.0 ** -119, word, 0)
+
+
+def rgbe_decode_np(word):
+    """numpy reference decode for tests (matches kernel._rgbe_decode)."""
+    word = np.asarray(word).astype(np.int64) & 0xFFFFFFFF
+    e = ((word >> 24) & 255).astype(np.int64)
+    scale = np.exp2((e - 135).astype(np.float64)).astype(np.float32)
+    return np.stack([
+        (word & 255).astype(np.float32) * scale,
+        ((word >> 8) & 255).astype(np.float32) * scale,
+        ((word >> 16) & 255).astype(np.float32) * scale,
+    ], axis=-1)
 
 
 def _pad_rows(flat, fill=0):
@@ -133,6 +165,7 @@ def pack_scene(scene) -> PackedScene:
     env_r = _pad_rows(flat[:, 0])
     env_g = _pad_rows(flat[:, 1])
     env_b = _pad_rows(flat[:, 2])
+    env_rgbe = _pad_rows(rgbe_encode(flat[:, :3]))
     meta = PackedMeta(
         n_bricks=(bx, by, bz),
         mip_dims=tuple(tuple(d) for d in g.mip_dims),
@@ -146,7 +179,7 @@ def pack_scene(scene) -> PackedScene:
         pool_rows=POOL_N // 128,
     )
     return PackedScene(atlas_p, meta_slot, meta_lo, meta_hi, mip_maj,
-                       env_r, env_g, env_b, meta)
+                       env_r, env_g, env_b, env_rgbe, meta)
 
 
 POOL_N = 16384  # env NEE sample pool size (128 rows)

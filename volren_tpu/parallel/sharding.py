@@ -412,3 +412,70 @@ def render_sharded_host(scene, params, cfg, width, height, spp, spp_base, mesh: 
         if int(np.asarray(n_active)[0]) == 0:
             break
     return state["accum"].reshape(height, width, 4)
+
+
+def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
+                          mesh: Mesh, seed=None, **pallas_kw):
+    """The Pallas megakernel engine across ``mesh``: pixel-band data
+    parallelism. Each device runs the WHOLE in-kernel work-queue drain
+    (ops/pallas/kernel.py) for its contiguous flat-pixel band — the
+    kernel is tile-local by construction (scene tables replicated, zero
+    collectives during tracing), so the only cross-device op is the
+    shard_map output concat. Sample set identical to the single-device
+    pallas engine: lane->(pixel, sample) TEA streams depend only on the
+    absolute flat pixel index, which each shard offsets via PI_PIX0.
+
+    Matches the reference's one-dispatch-per-frame scaling story
+    (shader/pathtracer_brick.glsl:3) stretched over a TPU mesh
+    (SURVEY 2c)."""
+    import math
+
+    from ..ops import pallas as PL
+    from ..ops.pallas.kernel import _render_strips_jit
+    from ..ops.pallas.pack import PI_PIX0, build_env_pool, build_params_rows
+
+    if not PL.supports_scene(scene, cfg):
+        raise NotImplementedError(
+            "pallas engine does not support this scene (see "
+            "ops.pallas.supports_scene); use step_engine='device_queue'")
+    n_dev = int(np.prod(list(mesh.shape.values())))
+    axes = tuple(mesh.axis_names)
+    n_pix = width * height
+    n_pad = -(-n_pix // (1024 * n_dev)) * (1024 * n_dev)
+    per_dev = n_pad // n_dev
+    qi = 1024 * math.gcd(per_dev // 1024, 64)
+
+    packed = PL.pack_scene(scene)
+    if seed is None:
+        seed = int(np.asarray(params.seed))
+    pool = build_env_pool(scene, seed, int(spp_base))
+    pf, pi0 = build_params_rows(scene, params, width, height, spp_base)
+    pi_all = jnp.concatenate(
+        [pi0.at[0, PI_PIX0].set(d * per_dev) for d in range(n_dev)], axis=0)
+
+    tabs = {k: v for k, v in packed._asdict().items() if k != "meta"}
+    meta = packed.meta
+    interpret = jax.default_backend() != "tpu"
+    repl = NamedSharding(mesh, P())
+    tabs = jax.device_put(tabs, repl)
+    pool = jax.device_put(pool, repl)
+    pf = jax.device_put(pf, repl)
+    pi_all = jax.device_put(pi_all, NamedSharding(mesh, P(axes, None)))
+
+    kw = dict(test_every=2, unroll=2, escape_every=1, k_march=8)
+    kw.update(pallas_kw)
+
+    def worker(tabs, pool, pf, pi):
+        img, _iters = _render_strips_jit(
+            tabs, pool, pf, pi, meta, int(width), per_dev // qi,
+            int(spp), int(kw["k_march"]), int(kw["test_every"]),
+            int(kw["unroll"]), int(kw["escape_every"]), True, qi,
+            interpret)
+        return img
+
+    out = jax.shard_map(
+        worker, mesh=mesh,
+        in_specs=(P(), P(), P(), P(axes, None)),
+        out_specs=P(axes, None),
+    )(tabs, pool, pf, pi_all)
+    return out[:n_pix].reshape(height, width, 4)
