@@ -127,3 +127,67 @@ def test_queue_mode_matches_strip(random_grid16):
     b = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
                                  queue_items=1024))
     assert np.array_equal(a, b)
+
+
+def _chunked_ref_and_noise(r, spp, res):
+    from volren_tpu.ops.megakernel import render_wavefront_chunked
+
+    scene, params = r._scene_device(), r._trace_params()
+    cfg = r._config()._replace(use_onehot=False, env_nearest_nee=True)
+    ref = np.asarray(render_wavefront_chunked(
+        scene, params, cfg, res, res, spp, 0)) / spp
+    ref2 = np.asarray(render_wavefront_chunked(
+        scene, params, cfg, res, res, spp, spp)) / spp
+    noise = np.sqrt(((ref2 - ref) ** 2).mean())
+    return ref, noise
+
+
+def test_tf_kernel_matches_chunked(random_grid16):
+    """TF kernel variant (trilinear classification through the LUT
+    alpha + rgb tint, pre-baked TF majorant table) within the chunked
+    engine's own sample noise (round-3 verdict #2)."""
+    from volren_tpu.scene.transferfunc import TransferFunction
+
+    r = _tiny_renderer(random_grid16)
+    r.set_transferfunc(TransferFunction(
+        [(0.9, 0.2, 0.1, 0.0), (0.2, 0.9, 0.6, 0.7), (1.0, 1.0, 1.0, 1.0)]))
+    SPP, RES = 8, 32
+    ref, noise = _chunked_ref_and_noise(r, SPP, RES)
+
+    r.step_engine = "pallas"
+    r.trace(SPP)
+    got = np.asarray(r._fb)
+    rmse = np.sqrt(((got - ref) ** 2).mean())
+    mean_rel = abs(got[..., :3].mean() - ref[..., :3].mean()) / max(
+        ref[..., :3].mean(), 1e-9)
+    assert np.isfinite(got).all()
+    assert rmse < 1.5 * noise, (rmse, noise)
+    assert mean_rel < 0.05, mean_rel
+
+
+def test_emission_kernel_matches_chunked(random_grid16):
+    """Emission kernel variant (second brick-grid fetch in resolve)
+    within the chunked engine's own sample noise."""
+    from volren_tpu.voldata import DenseGrid
+
+    r = _tiny_renderer(random_grid16)
+    zz, yy, xx = np.meshgrid(*([np.arange(16)] * 3), indexing="ij")
+    dist = np.sqrt((xx - 8) ** 2 + (yy - 8) ** 2 + (zz - 8) ** 2)
+    temp = np.clip(1.0 - dist / 8.0, 0.0, 1.0).astype(np.float32)
+    r.volume.update_grid_frame(0, DenseGrid(16, 16, 16, temp), "flame")
+    r.commit()
+    assert r._config().has_emission
+    r.emission_scale = 30.0
+    r.albedo = np.full(3, 0.6, np.float32)
+    SPP, RES = 8, 32
+    ref, noise = _chunked_ref_and_noise(r, SPP, RES)
+
+    r.step_engine = "pallas"
+    r.trace(SPP)
+    got = np.asarray(r._fb)
+    rmse = np.sqrt(((got - ref) ** 2).mean())
+    mean_rel = abs(got[..., :3].mean() - ref[..., :3].mean()) / max(
+        ref[..., :3].mean(), 1e-9)
+    assert np.isfinite(got).all()
+    assert rmse < 1.5 * noise, (rmse, noise)
+    assert mean_rel < 0.05, mean_rel

@@ -201,3 +201,54 @@ def test_make_cloud_script(tmp_path):
     v = Volume(out)
     lo, hi = v.minorant_majorant()
     assert hi > 0 and np.isfinite(hi)
+
+
+@pytest.mark.slow
+def test_styletransfer_deterministic_golden(tmp_path):
+    """The JAX port is deterministic on fixed-seed features and matches a
+    committed golden (round-3 verdict #9: parity with torch-VGG11 output
+    is blocked on weights absent from this zero-egress env — PARITY.md —
+    so the regression bar is determinism + golden stats of the
+    random-feature path)."""
+    import json
+
+    rng = np.random.default_rng(7)
+    content = tmp_path / "content.png"
+    style = tmp_path / "style.png"
+    Image.fromarray(
+        (rng.random((32, 32, 3)) * 200 + 40).astype(np.uint8)
+    ).save(content)
+    Image.fromarray(
+        (rng.random((32, 32, 3)) * 255).astype(np.uint8)
+    ).save(style)
+
+    def run(out):
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "scripts", "styletransfer.py"),
+             str(content), str(style), "--epochs", "4", "--save_epochs", "4",
+             "--image_size", "32", "--output", str(out)],
+            env=env, capture_output=True, text=True, timeout=600,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return np.asarray(Image.open(out)).astype(np.float32) / 255.0
+
+    a = run(tmp_path / "a.png")
+    b = run(tmp_path / "b.png")
+    np.testing.assert_array_equal(a, b)  # bitwise deterministic
+
+    golden_path = os.path.join(REPO, "tests", "goldens",
+                               "styletransfer_stats.json")
+    stats = {
+        "mean": [round(float(a[..., c].mean()), 5) for c in range(3)],
+        "std": [round(float(a[..., c].std()), 5) for c in range(3)],
+    }
+    if not os.path.exists(golden_path):
+        with open(golden_path, "w") as f:
+            json.dump(stats, f)
+        pytest.skip("golden written; re-run to compare")
+    golden = json.load(open(golden_path))
+    # loose band: jax version drift may perturb the optimizer trajectory,
+    # but the output statistics must stay in family
+    np.testing.assert_allclose(stats["mean"], golden["mean"], atol=0.02)
+    np.testing.assert_allclose(stats["std"], golden["std"], atol=0.02)

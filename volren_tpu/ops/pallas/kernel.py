@@ -47,10 +47,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .pack import (
     PF_ALBEDO, PF_BB_MAX, PF_BB_MIN, PF_CAM_POS, PF_CAM_XFORM,
-    PF_DENSITY_SCALE, PF_ENV_INV, PF_ENV_STRENGTH, PF_ENV_XFORM, PF_IMP_AVG,
-    PF_INV_MAJORANT, PF_INV_XFORM, PF_MAJORANT, PF_PHASE_G, PF_SHOW_ENV,
-    PF_ZCAM, PI_BOUNCES, PI_HEIGHT, PI_PIX0, PI_SEED, PI_SPP_BASE, PI_WIDTH,
-    POOL_N, PackedScene,
+    PF_DENSITY_SCALE, PF_EMI_NORM, PF_EMI_SCALE, PF_EMI_X, PF_ENV_INV,
+    PF_ENV_STRENGTH, PF_ENV_XFORM, PF_IMP_AVG, PF_INV_MAJORANT,
+    PF_INV_XFORM, PF_MAJORANT, PF_PHASE_G, PF_SHOW_ENV, PF_TF_LEFT,
+    PF_TF_WIDTH, PF_ZCAM, PI_BOUNCES, PI_HEIGHT, PI_PIX0, PI_SEED,
+    PI_SPP_BASE, PI_WIDTH, POOL_N, PackedScene,
 )
 
 f32 = jnp.float32
@@ -255,26 +256,20 @@ def _xform_vec(m16, v):
 # mask-reduce gather
 # ---------------------------------------------------------------------------
 
-def _scan_gather(tabs, r, c, rows):
-    """out_k[i,j] = tabs[k][r[i,j], c[i,j]] for an (8,128) lane block.
-
-    tabs: list of (rows, 128) VALUES (materialize refs ONCE at kernel
-    start — `ref[:]` — before calling; re-slicing refs per use re-loads
-    them from VMEM and was measured 10-100x slower, probes pallas5). Per
-    sublane row: one axis1 tpu.dynamic_gather shuffles every table row by
-    that row's column indices, then a masked row-sum picks each lane's
-    row — exact, and ~vector-speed (a (896,128) gather of 1024 lanes
-    measures below timing noise, results/pallas5.jsonl). r MUST be in
-    [0, rows), c in [0, 128)."""
-    iota_n = jax.lax.broadcasted_iota(i32, (rows, 128), 0)
-    ones = jnp.ones((1, rows), f32)
+def _scan_gather_block(tabs, r, c, b0, bn):
+    """One (bn,128) row-block pass of the full-lane gather: out_k[i,j] =
+    tabs[k][r[i,j], c[i,j]] if r[i,j] in [b0, b0+bn) else 0."""
+    iota_n = jax.lax.broadcasted_iota(i32, (bn, 128), 0) + b0
+    ones = jnp.ones((1, bn), f32)
     out_rows = [[] for _ in tabs]
     for i in range(8):
-        c_b = jnp.broadcast_to(c[i:i + 1, :], (rows, 128))
-        r_b = jnp.broadcast_to(r[i:i + 1, :], (rows, 128))
+        c_b = jnp.broadcast_to(c[i:i + 1, :], (bn, 128))
+        r_b = jnp.broadcast_to(r[i:i + 1, :], (bn, 128))
         hit = iota_n == r_b
         for k, t in enumerate(tabs):
-            G = jnp.take_along_axis(t, c_b, axis=1)
+            tblk = t if bn == t.shape[0] else \
+                jax.lax.slice_in_dim(t, b0, b0 + bn, axis=0)
+            G = jnp.take_along_axis(tblk, c_b, axis=1)
             if t.dtype == f32:
                 # row-sum on the MXU: exactly one nonzero per column
                 # (the hit row) so the f32 matmul is exact
@@ -289,6 +284,37 @@ def _scan_gather(tabs, r, c, rows):
                             axis=0, keepdims=True)
             out_rows[k].append(v)
     return [jnp.concatenate(rs, axis=0) for rs in out_rows]
+
+
+def _scan_gather(tabs, r, c, rows, block=0):
+    """out_k[i,j] = tabs[k][r[i,j], c[i,j]] for an (8,128) lane block.
+
+    tabs: list of (rows, 128) VALUES (materialize refs ONCE at kernel
+    start — `ref[:]` — before calling; re-slicing refs per use re-loads
+    them from VMEM and was measured 10-100x slower, probes pallas5). Per
+    sublane row: one axis1 tpu.dynamic_gather shuffles every table row by
+    that row's column indices, then a masked row-sum picks each lane's
+    row — exact, and ~vector-speed (a (896,128) gather of 1024 lanes
+    measures below timing noise, results/pallas5.jsonl). r MUST be in
+    [0, rows), c in [0, 128).
+
+    block > 0 splits tall tables into lax.cond-skipped row blocks (one
+    shared demand predicate across all 8 sublane rows): blocks no lane's
+    row index lands in cost nothing — bit-exact (a skipped block would
+    have summed exactly 0)."""
+    if not block or rows <= block:
+        return _scan_gather_block(tabs, r, c, 0, rows)
+    outs = tuple(jnp.zeros((8, 128), t.dtype) for t in tabs)
+    for b0 in range(0, rows, block):
+        bn = min(block, rows - b0)
+
+        def do(o, b0=b0, bn=bn):
+            vs = _scan_gather_block(tabs, r, c, b0, bn)
+            return tuple(a + v for a, v in zip(o, vs))
+
+        pred = jnp.any((r >= b0) & (r < b0 + bn))
+        outs = lax.cond(pred, do, lambda o: tuple(o), outs)
+    return list(outs)
 
 
 def _prefix_ranks(mask):
@@ -461,7 +487,9 @@ def _rgbe_decode(w):
 
 def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  max_iters, escape_every, compact, queue_items=0,
-                 env_rgbe=False, probe_dup=()):
+                 env_rgbe=False, probe_dup=(), escape_rounds=4,
+                 resolve_rounds=2, resolve_full=False, escape_full=False,
+                 nee_full=False):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; 1024 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -483,18 +511,34 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
     # inflation). Rounds >= 2 are lax.cond-gated on demand, so extra
     # capacity costs only when bursts use it (sky super-blocks demand
     # ~500/step, NOTES.md) — 4 rounds cover the measured burst.
-    ESCAPE_ROUNDS = 4
-    RESOLVE_ROUNDS = 2                        # same scheme for EV_TEST bursts
+    ESCAPE_ROUNDS = escape_rounds
+    RESOLVE_ROUNDS = resolve_rounds           # same scheme for EV_TEST bursts
+    NEE_ROUNDS = 2                            # and for EV_EXT_HIT
+
+    use_tf = meta.tf_rows > 0
+    has_emi = meta.emi_n_slots > 0
+    if (use_tf or has_emi) and not compact:
+        raise NotImplementedError(
+            "TF/emission kernels require compact=True")
+    if resolve_full and (use_tf or has_emi):
+        raise NotImplementedError(
+            "resolve_full covers the no-TF/no-emission kernel (the "
+            "TF trilinear / emission fetches still serve compacted)")
 
     def kernel(*refs):
+        refs = list(refs)
+
+        def take(n):
+            out, refs[:n] = refs[:n], []
+            return out
+
         (pf_ref, pi_ref, atlas_ref, mslot_ref, mlo_ref, mhi_ref,
-         mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb) = refs[:14]
-        if env_rgbe:
-            env_refs = refs[14:15]
-            or_ref, og_ref, ob_ref, oa_ref, oit_ref = refs[15:]
-        else:
-            env_refs = refs[14:17]
-            or_ref, og_ref, ob_ref, oa_ref, oit_ref = refs[17:]
+         mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb) = take(14)
+        env_refs = take(1 if env_rgbe else 3)
+        tf_refs = take(4) if use_tf else []
+        emi_refs = take(4) if has_emi else []
+        or_ref, og_ref, ob_ref, oa_ref, oit_ref = take(5)
+        assert not refs
         # ---- scalars
         def pf(k, n=1):
             if n == 1:
@@ -508,7 +552,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         bb_max = pf(PF_BB_MAX, 3)
         majorant = pf(PF_MAJORANT)
         inv_majorant = pf(PF_INV_MAJORANT)
-        del majorant, inv_majorant  # (TF path only; v1 is no-TF)
+        tf_left = pf(PF_TF_LEFT)
+        tf_width = pf(PF_TF_WIDTH)
+        emi_scale = pf(PF_EMI_SCALE)
+        emi_norm = pf(PF_EMI_NORM)
+        emi_x = pf(PF_EMI_X, 16)
         albedo = pf(PF_ALBEDO, 3)
         phase_g = pf(PF_PHASE_G)
         density_scale = pf(PF_DENSITY_SCALE)
@@ -545,6 +593,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         pool_t = [pwx[:], pwy[:], pwz[:], ppdf[:], pler[:], pleg[:],
                   pleb[:]]
         env_t = [ref[:] for ref in env_refs]
+        tf_t = [ref[:] for ref in tf_refs]     # r, g, b, a channels
+        emi_t = [ref[:] for ref in emi_refs]   # atlas, slot, lo, hi
 
         def fetch_meta(bidx):
             s, lo, hi = _scan_gather(
@@ -559,13 +609,13 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
         def fetch_atlas(slot, voff):
             g32 = _scan_gather([atlas_t], slot, voff >> 2,
-                               meta.n_slots)[0]
+                               meta.n_slots, block=atlas_block)[0]
             shift = (voff & 3) * 8
             return ((g32 >> shift) & 255).astype(f32) * f32(1.0 / 255.0)
 
         def fetch_env(eidx):
             outs = _scan_gather(env_t, eidx >> 7, eidx & 127,
-                                meta.env_rows)
+                                meta.env_rows, block=env_block)
             if env_rgbe:
                 return _rgbe_decode(outs[0])
             return outs
@@ -592,13 +642,16 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
 
         # ---- density machinery (ops/grid.py ports)
-        def brick_index(tap):
-            vx = jnp.clip(tap[0].astype(i32), 0, bx * 8 - 1)
-            vy = jnp.clip(tap[1].astype(i32), 0, by * 8 - 1)
-            vz = jnp.clip(tap[2].astype(i32), 0, bz * 8 - 1)
-            bidx = (vz >> 3) * (by * bx) + (vy >> 3) * bx + (vx >> 3)
+        def brick_index_dims(tap, nbx, nby, nbz):
+            vx = jnp.clip(tap[0].astype(i32), 0, nbx * 8 - 1)
+            vy = jnp.clip(tap[1].astype(i32), 0, nby * 8 - 1)
+            vz = jnp.clip(tap[2].astype(i32), 0, nbz * 8 - 1)
+            bidx = (vz >> 3) * (nby * nbx) + (vy >> 3) * nbx + (vx >> 3)
             voff = (vz & 7) * 64 + (vy & 7) * 8 + (vx & 7)
             return bidx, voff
+
+        def brick_index(tap):
+            return brick_index_dims(tap, bx, by, bz)
 
         def lookup_density_brick(tap):
             bidx, voff = brick_index(tap)
@@ -619,6 +672,12 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 bzm = jnp.clip(iz >> (3 + m), 0, mz - 1)
                 idx_m = mip_offsets[m] + (bzm * my + bym) * mx + bxm
                 idx = jnp.where(mip_i == m, idx_m, idx)
+            if use_tf:
+                # the TF majorant transform (majorant * tf_alpha(maj *
+                # inv_majorant), common.glsl:484) depends only on the mip
+                # CELL VALUE, so it is pre-baked into the table per trace
+                # call (renderer._render_pallas) — zero per-step cost
+                return fetch_mip(idx)
             return density_scale * fetch_mip(idx)
 
         def stochastic_tricubic(pos, seed, active):
@@ -648,6 +707,118 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     for k in range(3))
             tap = tuple(iip[k] + idxf[k] - 1.0 for k in range(3))
             return tap, seed
+
+        def tf_channels(d_norm, chans):
+            """Windowed lerped LUT fetch on full lanes
+            (ops/transfer.tf_lookup, common.glsl:195-212). d_norm =
+            density * inv_majorant; chans = subset of tf_t."""
+            tc = jnp.clip((d_norm - tf_left) / tf_width, 0.0,
+                          1.0 - 1e-6) * f32(meta.tf_size)
+            idx = jnp.floor(tc).astype(i32)
+            fr = tc - idx.astype(f32)
+            idx1 = jnp.minimum(idx + 1, meta.tf_size - 1)
+            los = _scan_gather(chans, idx >> 7, idx & 127, meta.tf_rows)
+            his = _scan_gather(chans, idx1 >> 7, idx1 & 127, meta.tf_rows)
+            return [lo * (1.0 - fr) + hi * fr for lo, hi in zip(los, his)]
+
+        def trilinear_compact(pos, rank, act, tot):
+            """Exact trilinear density at ``pos`` for <= 128*ROUNDS
+            ``act`` lanes (the TF classification fetch,
+            common.glsl:289-297 / ops/grid.lookup_density_trilinear):
+            compact (base, frac) once per round, then a lax.fori_loop
+            over the 8 corners accumulates w*decode entirely in
+            compacted (1,128) space — one route-back per round. Corner
+            order (dx fastest) matches the XLA engine's summation."""
+            p = tuple(c - 0.5 for c in pos)
+            base = tuple(jnp.floor(c) for c in p)
+            frac = tuple(c - b for c, b in zip(p, base))
+
+            def serve(rnd, d):
+                m_r = act & (rank >= 128 * rnd) & (rank < 128 * (rnd + 1))
+                rankc = jnp.where(m_r, rank - 128 * rnd, 127)
+                comp = _compact_rows(
+                    [base[0], base[1], base[2],
+                     frac[0], frac[1], frac[2]], rankc, m_r)
+                b_c, f_c = comp[:3], comp[3:]
+
+                def corner(i, acc):
+                    dx = i & 1
+                    dy = (i >> 1) & 1
+                    dz = i >> 2
+                    w = (jnp.where(dx == 1, f_c[0], 1.0 - f_c[0])
+                         * jnp.where(dy == 1, f_c[1], 1.0 - f_c[1])
+                         * jnp.where(dz == 1, f_c[2], 1.0 - f_c[2]))
+                    tap_c = (b_c[0] + dx.astype(f32),
+                             b_c[1] + dy.astype(f32),
+                             b_c[2] + dz.astype(f32))
+                    bidx_c, voff_c = brick_index(tap_c)
+                    slot_c, lo_c, hi_c = _scan_rows(
+                        [mslot_t, mlo_t, mhi_t], bidx_c >> 7,
+                        bidx_c & 127, meta.meta_rows)
+                    slot_c = jnp.clip(slot_c, 0, meta.n_slots - 1)
+                    (g32_c,) = _scan_rows(
+                        [atlas_t], slot_c, voff_c >> 2, meta.n_slots,
+                        block=atlas_block)
+                    shift_c = (voff_c & 3) * 8
+                    unorm_c = ((g32_c >> shift_c) & 255).astype(f32) \
+                        * f32(1.0 / 255.0)
+                    return acc + w * (lo_c + unorm_c * (hi_c - lo_c))
+
+                acc_c = lax.fori_loop(0, 8, corner,
+                                      jnp.zeros((1, 128), f32))
+                (d_r,) = _route_back([acc_c], rankc)
+                return jnp.where(m_r, d_r, d)
+
+            d = jnp.zeros(LANES, f32)
+            for rnd in range(RESOLVE_ROUNDS):
+                if rnd == 0:
+                    d = serve(0, d)
+                else:
+                    d = lax.cond(tot > 128 * rnd, partial(serve, rnd),
+                                 lambda x: x, d)
+            return density_scale * d
+
+        def emission_at(pos, seed, rank, act_e, tot):
+            """Emission grid fetch at density-index ``pos`` for act_e
+            lanes (ops/grid.lookup_emission): remap through the
+            pre-composed density-index -> emission-index transform,
+            stochastic-tricubic tap, one compacted brick fetch. Returns
+            (t_raw * emi_norm, seed)."""
+            epos = _xform_point(emi_x, pos)
+            etap, seed = stochastic_tricubic(epos, seed, act_e)
+            ebx, eby, ebz = meta.emi_n_bricks
+            ebidx, evoff = brick_index_dims(etap, ebx, eby, ebz)
+            ekey = ebidx * 512 + evoff
+
+            def serve(rnd, v):
+                m_r = act_e & (rank >= 128 * rnd) \
+                    & (rank < 128 * (rnd + 1))
+                rankc = jnp.where(m_r, rank - 128 * rnd, 127)
+                (key_c,) = _compact_rows([ekey], rankc, m_r)
+                eb_c = key_c >> 9
+                ev_c = key_c & 511
+                slot_c, lo_c, hi_c = _scan_rows(
+                    [emi_t[1], emi_t[2], emi_t[3]], eb_c >> 7,
+                    eb_c & 127, meta.emi_meta_rows)
+                slot_c = jnp.clip(slot_c, 0, meta.emi_n_slots - 1)
+                (g32_c,) = _scan_rows([emi_t[0]], slot_c, ev_c >> 2,
+                                      meta.emi_n_slots,
+                                      block=_blk(meta.emi_n_slots))
+                shift_c = (ev_c & 3) * 8
+                unorm_c = ((g32_c >> shift_c) & 255).astype(f32) \
+                    * f32(1.0 / 255.0)
+                (v_r,) = _route_back([lo_c + unorm_c * (hi_c - lo_c)],
+                                     rankc)
+                return jnp.where(m_r, v_r, v)
+
+            v = jnp.zeros(LANES, f32)
+            for rnd in range(RESOLVE_ROUNDS):
+                if rnd == 0:
+                    v = serve(0, v)
+                else:
+                    v = lax.cond(tot > 128 * rnd, partial(serve, rnd),
+                                 lambda x: x, v)
+            return v * emi_norm, seed
 
         # ---- ray setup (megakernel._setup_ray)
         def setup_ray(s, org, direction, mask):
@@ -740,7 +911,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
             def do(s):
                 s = dict(s)
-                if compact:
+                if compact and not resolve_full:
                     rank, tot_test = _prefix_ranks(test)
                     # serve up to 128*ROUNDS this call; rounds >= 2 run
                     # behind a lax.cond on actual demand (bursts only —
@@ -748,13 +919,27 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     # defers to the next resolve (pure scheduling, exact)
                     act = test & (rank < 128 * RESOLVE_ROUNDS)
                 else:
+                    # resolve_full: serve EVERY tester through the
+                    # 8-sublane full-lane scan — in saturated queue mode
+                    # the per-128 compaction tax exceeds the scan cost
+                    # (the same crossover that retired XLA-stage
+                    # compaction, NOTES.md round-3)
                     rank, act = None, test
                 maj = jnp.where(act, s["tau"], 0.0)
                 pos = (s["ix0"] + s["t"] * s["idx"],
                        s["iy0"] + s["t"] * s["idy"],
                        s["iz0"] + s["t"] * s["idz"])
-                tap, seed = stochastic_tricubic(pos, s["seed"], act)
-                if compact:
+                if use_tf:
+                    # TF classification: EXACT trilinear density through
+                    # the LUT alpha (pathtracer_brick_tf.glsl:10-11,
+                    # common.glsl:484-494; no stochastic-filter draws —
+                    # mirrors megakernel._density_at's TF branch)
+                    seed = s["seed"]
+                    d_raw = trilinear_compact(pos, rank, act, tot_test)
+                    (a_tf,) = tf_channels(d_raw * inv_majorant,
+                                          [tf_t[3]])
+                    d = majorant * a_tf
+                elif compact and not resolve_full:
                     # FUSED fetch: one compaction of the flat
                     # (brick, voxel) key, both table scans in compacted
                     # space (the meta scan's slot feeds the atlas scan
@@ -764,6 +949,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     # values, shuffled through rank slots).
                     # bidx*512+voff needs bidx < 2^22 (4.2M bricks) —
                     # far above the atlas-slot VMEM gate.
+                    tap, seed = stochastic_tricubic(pos, s["seed"], act)
                     bidx, voff = brick_index(tap)
                     key = bidx * 512 + voff
 
@@ -798,21 +984,43 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                                          lambda x: x, d)
                     d = density_scale * d
                 else:
+                    tap, seed = stochastic_tricubic(pos, s["seed"], act)
+                    # idle lanes' stale positions would touch random
+                    # atlas blocks and defeat the block-skip — pin them
+                    tap = _w3(act, tap, (jnp.zeros(LANES, f32),) * 3)
                     d = density_scale * lookup_density_brick(tap)
+                # --- emission (common.glsl:324-328, mirror of
+                # megakernel._resolve_tests's _add_emission call: draws
+                # AFTER the density fetch, BEFORE classification)
+                if has_emi:
+                    act_e = act & is_extend
+                    t_e, seed = emission_at(pos, seed, rank, act_e,
+                                            tot_test)
+                    t2 = t_e * t_e
+                    e3 = (t2, t2 * t2, (t2 * t2) * (t2 * t2))
+                    wgt_e = d * inv_majorant
+                    for Ln, ak, ek in (("Lx", albedo[0], e3[0]),
+                                       ("Ly", albedo[1], e3[1]),
+                                       ("Lz", albedo[2], e3[2])):
+                        th = s["th" + Ln[1].lower()]
+                        contrib = th * (1.0 - ak) * (emi_scale * ek) \
+                            * wgt_e
+                        s[Ln] = s[Ln] + jnp.where(act_e, contrib, 0.0)
                 # --- probe instrumentation (cost attribution by duplicate
                 # work folded in at 1e-30; probes/probe_pallas8.py).
                 # ez is 0 at runtime (event <= 6) but not provably so —
                 # it defeats Mosaic's CSE of the duplicates.
                 ez = s["event"] >> 30
                 ezf = ez.astype(f32)
-                if "tricubic" in probe_dup:
+                if "tricubic" in probe_dup and not use_tf:
                     tap2, _ = stochastic_tricubic(
                         (pos[0] + ezf, pos[1], pos[2]), s["seed"], act)
                     d = d + f32(1e-30) * tap2[0]
-                if "rank" in probe_dup and compact:
+                if "rank" in probe_dup and compact and not resolve_full:
                     rank2, _ = _prefix_ranks(test ^ (ez > 0))
                     d = d + f32(1e-30) * rank2.astype(f32)
-                if "resolve" in probe_dup and compact:
+                if "resolve" in probe_dup and compact and not use_tf \
+                        and not resolve_full:
                     # duplicate one round-0 serve (the common case)
                     rankc = jnp.where(act & (rank < 128), rank, 127)
                     (key2_c,) = _compact_rows([key + ez], rankc,
@@ -864,11 +1072,16 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                         (curr[0] + ez.astype(f32), curr[1], curr[2]),
                         mip_i + ez)
                 dim = (8 << mip_i).astype(f32)
+                # 1/dim built in the exponent field: dim = 2^(3+mip), so
+                # x * inv_dim == x / dim EXACTLY (power-of-two scaling is
+                # exact in f32) — trades 3 multi-cycle VPU divides per
+                # substep for multiplies
+                inv_dim = _bitcast((124 - mip_i) << 23, f32)
                 ri = (s["rix"], s["riy"], s["riz"])
                 dts = []
                 for k in range(3):
                     offs = jnp.where(ri[k] >= 0.0, dim + 0.5, f32(-0.5))
-                    dts.append((jnp.floor(curr[k] / dim) * dim + offs
+                    dts.append((jnp.floor(curr[k] * inv_dim) * dim + offs
                                 - curr[k]) * ri[k])
                 dt = jnp.minimum(dts[0], jnp.minimum(dts[1], dts[2]))
                 if "march" in probe_dup:
@@ -877,7 +1090,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     for k in range(3):
                         offs2 = jnp.where(ri[k] >= ezf, dim + 0.5,
                                           f32(-0.5))
-                        dts2.append((jnp.floor((curr[k] + ezf) / dim)
+                        dts2.append((jnp.floor((curr[k] + ezf) * inv_dim)
                                      * dim + offs2 - curr[k]) * ri[k])
                     dt2 = jnp.minimum(dts2[0],
                                       jnp.minimum(dts2[1], dts2[2]))
@@ -912,18 +1125,55 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
             def do(s):
                 s = dict(s)
-                if compact:
-                    rank, _ = _prefix_ranks(ext_hit)
-                    act = ext_hit & (rank < 128)  # overflow waits a step
+                if compact and not nee_full:
+                    rank, tot_hit = _prefix_ranks(ext_hit)
+                    # NEE serve capacity: rounds >= 2 behind a demand
+                    # cond (dense scenes saturate 128 hits/step; the
+                    # same capacity law that bound the resolves —
+                    # pallas9b); true overflow waits a step
+                    act = ext_hit & (rank < 128 * NEE_ROUNDS)
                 else:
+                    # nee_full: the pool is only 128 rows — the full
+                    # 8-sublane scan is cheap and uncapped
                     rank, act = None, ext_hit
+                    tot_hit = None
+                if use_tf:
+                    # TF tint: throughput *= albedo * tf(d).rgb at the
+                    # collision (common.glsl:490-494; trilinear density,
+                    # no draws — mirrors megakernel.phase_nee_body)
+                    pos_hit = (s["ix0"] + s["t"] * s["idx"],
+                               s["iy0"] + s["t"] * s["idy"],
+                               s["iz0"] + s["t"] * s["idz"])
+                    d_raw = trilinear_compact(pos_hit, rank, act,
+                                              tot_hit)
+                    rgb = tf_channels(d_raw * inv_majorant, tf_t[:3])
+                    mult = (albedo[0] * rgb[0], albedo[1] * rgb[1],
+                            albedo[2] * rgb[2])
+                else:
+                    mult = albedo
                 seed, u0 = _rng(s["seed"], act)
                 seed, _u1 = _rng(seed, act)
                 s["seed"] = seed
                 pidx = jnp.clip((u0 * POOL_N).astype(i32), 0, POOL_N - 1)
-                if compact:
-                    wx, wy, wz, pdf_nee, ler, leg, leb = cfetch(
-                        pool_t, meta.pool_rows, pidx, rank, act)
+                if compact and not nee_full:
+                    def serve_nee(rnd, outs):
+                        m_r = act & (rank >= 128 * rnd) \
+                            & (rank < 128 * (rnd + 1))
+                        vals = cfetch(pool_t, meta.pool_rows, pidx,
+                                      rank - 128 * rnd, m_r)
+                        return tuple(jnp.where(m_r, v, o)
+                                     for v, o in zip(vals, outs))
+
+                    zero7 = jnp.zeros(LANES, f32)
+                    outs = (zero7,) * 7
+                    for rnd in range(NEE_ROUNDS):
+                        if rnd == 0:
+                            outs = serve_nee(0, outs)
+                        else:
+                            outs = lax.cond(tot_hit > 128 * rnd,
+                                            partial(serve_nee, rnd),
+                                            lambda o: tuple(o), outs)
+                    wx, wy, wz, pdf_nee, ler, leg, leb = outs
                 else:
                     wx, wy, wz, pdf_nee, ler, leg, leb = fetch_pool(pidx)
                 if "nee" in probe_dup and compact:
@@ -933,8 +1183,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     wx = wx + f32(1e-30) * dup[0]
                 w_i = (wx, wy, wz)
                 le = (ler, leg, leb)
-                thr = (s["thx"] * albedo[0], s["thy"] * albedo[1],
-                       s["thz"] * albedo[2])
+                thr = (s["thx"] * mult[0], s["thy"] * mult[1],
+                       s["thz"] * mult[2])
                 thr = _w3(act, thr, (s["thx"], s["thy"], s["thz"]))
                 s["thx"], s["thy"], s["thz"] = thr
                 org = (s["pox"] + s["t"] * s["pdx"],
@@ -983,92 +1233,124 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             # lanes draw nothing, output unchanged, tails a bit longer)
             if do_escape:
                 esc0 = event == EV_EXT_EXIT
-                if compact:
-                    # escapes BURST (sky regions: most lanes escape at
-                    # once — EV_EXT_EXIT p-max 0.93, NOTES.md); serve
-                    # escape_rounds x 128 per step so the cap doesn't
-                    # park whole sky super-blocks. Rounds >= 2 run behind
-                    # a lax.cond on demand: steady state (~sample
-                    # completion rate, well under 128/step) pays ONE env
-                    # scan; bursts pay as many as they fill.
-                    rank0, tot_esc = _prefix_ranks(esc0)
-                    esc = esc0 & (rank0 < 128 * ESCAPE_ROUNDS)
-                else:
-                    esc = esc0
-                idir = _mat3_vec(env_inv, pd)
-                uu = _atan2(idir[2], idir[0]) * f32(1.0 / (2.0 * M_PI)) \
-                    + 0.5
-                vv = 1.0 - _acos(idir[1]) * f32(1.0 / M_PI)
-                x = uu * EW - 0.5
-                y = vv * EH - 0.5
-                if "uv" in probe_dup:
-                    ezf = (s["event"] >> 30).astype(f32)  # 0; CSE-defeat
-                    idir2 = _mat3_vec(env_inv,
-                                      (pd[0] + ezf, pd[1], pd[2]))
-                    uu2 = _atan2(idir2[2], idir2[0])
-                    vv2 = _acos(idir2[1])
-                    x = x + f32(1e-30) * (uu2 + vv2)
-                seed, rx = _rng(seed, esc)
-                seed, ry = _rng(seed, esc)
-                xt = jnp.floor(x + rx).astype(i32)
-                yt = jnp.floor(y + ry).astype(i32)
-                xw = jnp.where(xt < 0, xt + EW, xt)
-                xw = jnp.where(xw >= EW, xw - EW, xw)
-                yc = jnp.clip(yt, 0, EH - 1)
-                eidx = yc * EW + xw
-                if compact:
-                    def serve_escape(rnd, ergb):
-                        er, eg, eb = ergb
-                        m_r = esc & (rank0 >= 128 * rnd) \
-                            & (rank0 < 128 * (rnd + 1))
-                        r_r = rank0 - 128 * rnd
-                        if env_rgbe:
-                            (w8,) = cfetch(env_t, meta.env_rows, eidx,
-                                           r_r, m_r, block=env_block)
-                            fr, fg, fb = _rgbe_decode(w8)
-                        else:
-                            fr, fg, fb = cfetch(env_t, meta.env_rows,
-                                                eidx, r_r, m_r,
-                                                block=env_block)
-                        return (jnp.where(m_r, fr, er),
-                                jnp.where(m_r, fg, eg),
-                                jnp.where(m_r, fb, eb))
 
-                    zero3 = jnp.zeros(LANES, f32)
-                    ergb = (zero3, zero3, zero3)
-                    for rnd in range(ESCAPE_ROUNDS):
-                        if rnd == 0:
-                            ergb = serve_escape(0, ergb)
-                        else:
-                            ergb = lax.cond(tot_esc > 128 * rnd,
-                                            partial(serve_escape, rnd),
-                                            lambda x: tuple(x), ergb)
-                    er, eg, eb = ergb
-                else:
-                    er, eg, eb = fetch_env(eidx)
-                if "escape" in probe_dup and compact:
-                    # duplicate one round-0 serve (the common case)
-                    ez = s["event"] >> 30   # 0, but not provably (CSE)
-                    m_r = esc & (rank0 < 128)
-                    outs2 = cfetch(env_t, meta.env_rows, eidx + ez,
-                                   rank0, m_r, block=env_block)
-                    if env_rgbe:
-                        fr2, fg2, fb2 = _rgbe_decode(outs2[0])
+                # the WHOLE escape serve (uv math + env fetch + MIS add)
+                # runs behind one lax.cond on demand — in a step with
+                # zero escaping lanes the body computes exactly nothing
+                # (rng draws esc-masked, adds esc-gated), so the skip is
+                # bitwise identical
+                def esc_do(c):
+                    seed, L = c[0], (c[1], c[2], c[3])
+                    if compact and escape_full:
+                        # serve EVERY escape through the 8-sublane scan
+                        # (block-skipped env rows; escapes cluster by
+                        # sky region) — at saturation the per-128
+                        # compaction tax loses (pallas9d)
+                        esc = esc0
+                    elif compact:
+                        # escapes BURST (sky regions: most lanes escape
+                        # at once — EV_EXT_EXIT p-max 0.93, NOTES.md);
+                        # serve ESCAPE_ROUNDS x 128 per step so the cap
+                        # doesn't park whole sky super-blocks; rounds
+                        # >= 2 again behind a demand cond
+                        rank0, tot_esc = _prefix_ranks(esc0)
+                        esc = esc0 & (rank0 < 128 * ESCAPE_ROUNDS)
                     else:
-                        fr2, fg2, fb2 = outs2
-                    er = er + f32(1e-30) * jnp.where(m_r, fr2 + fg2 + fb2,
-                                                     0.0)
-                le_env = (env_strength * er, env_strength * eg,
-                          env_strength * eb)
-                pdf_esc = _luma(le_env) / imp_avg * f32(INV_4PI)
-                a2 = s["last_f_p"] * s["last_f_p"]
-                mis_esc = jnp.where(
-                    s["n_paths"] > 0,
-                    a2 / jnp.maximum(a2 + pdf_esc * pdf_esc, 1e-32), 1.0)
-                add = esc & (s["free"] != 0) & show_env
-                L = tuple(
-                    Lk + jnp.where(add, tk * mis_esc * lek, 0.0)
-                    for Lk, tk, lek in zip(L, thr, le_env))
+                        esc = esc0
+                    idir = _mat3_vec(env_inv, pd)
+                    uu = _atan2(idir[2], idir[0]) \
+                        * f32(1.0 / (2.0 * M_PI)) + 0.5
+                    vv = 1.0 - _acos(idir[1]) * f32(1.0 / M_PI)
+                    x = uu * EW - 0.5
+                    y = vv * EH - 0.5
+                    if "uv" in probe_dup:
+                        ezf = (s["event"] >> 30).astype(f32)  # CSE-defeat
+                        idir2 = _mat3_vec(env_inv,
+                                          (pd[0] + ezf, pd[1], pd[2]))
+                        uu2 = _atan2(idir2[2], idir2[0])
+                        vv2 = _acos(idir2[1])
+                        x = x + f32(1e-30) * (uu2 + vv2)
+                    seed, rx = _rng(seed, esc)
+                    seed, ry = _rng(seed, esc)
+                    xt = jnp.floor(x + rx).astype(i32)
+                    yt = jnp.floor(y + ry).astype(i32)
+                    xw = jnp.where(xt < 0, xt + EW, xt)
+                    xw = jnp.where(xw >= EW, xw - EW, xw)
+                    yc = jnp.clip(yt, 0, EH - 1)
+                    eidx = yc * EW + xw
+                    if escape_full:
+                        # pin idle lanes to row 0 (block-skip hygiene)
+                        eidx = jnp.where(esc, eidx, 0)
+                    if compact and not escape_full:
+                        def serve_escape(rnd, ergb):
+                            er, eg, eb = ergb
+                            m_r = esc & (rank0 >= 128 * rnd) \
+                                & (rank0 < 128 * (rnd + 1))
+                            r_r = rank0 - 128 * rnd
+                            if env_rgbe:
+                                (w8,) = cfetch(env_t, meta.env_rows,
+                                               eidx, r_r, m_r,
+                                               block=env_block)
+                                fr, fg, fb = _rgbe_decode(w8)
+                            else:
+                                fr, fg, fb = cfetch(env_t, meta.env_rows,
+                                                    eidx, r_r, m_r,
+                                                    block=env_block)
+                            return (jnp.where(m_r, fr, er),
+                                    jnp.where(m_r, fg, eg),
+                                    jnp.where(m_r, fb, eb))
+
+                        zero3 = jnp.zeros(LANES, f32)
+                        ergb = (zero3, zero3, zero3)
+                        for rnd in range(ESCAPE_ROUNDS):
+                            if rnd == 0:
+                                ergb = serve_escape(0, ergb)
+                            else:
+                                ergb = lax.cond(tot_esc > 128 * rnd,
+                                                partial(serve_escape,
+                                                        rnd),
+                                                lambda x: tuple(x), ergb)
+                        er, eg, eb = ergb
+                    else:
+                        er, eg, eb = fetch_env(eidx)
+                    if "escape" in probe_dup and compact \
+                            and not escape_full:
+                        # duplicate one round-0 serve (the common case)
+                        ez = s["event"] >> 30   # 0, not provably (CSE)
+                        m_r = esc & (rank0 < 128)
+                        outs2 = cfetch(env_t, meta.env_rows, eidx + ez,
+                                       rank0, m_r, block=env_block)
+                        if env_rgbe:
+                            fr2, fg2, fb2 = _rgbe_decode(outs2[0])
+                        else:
+                            fr2, fg2, fb2 = outs2
+                        er = er + f32(1e-30) * jnp.where(
+                            m_r, fr2 + fg2 + fb2, 0.0)
+                    le_env = (env_strength * er, env_strength * eg,
+                              env_strength * eb)
+                    pdf_esc = _luma(le_env) / imp_avg * f32(INV_4PI)
+                    a2 = s["last_f_p"] * s["last_f_p"]
+                    mis_esc = jnp.where(
+                        s["n_paths"] > 0,
+                        a2 / jnp.maximum(a2 + pdf_esc * pdf_esc, 1e-32),
+                        1.0)
+                    add = esc & (s["free"] != 0) & show_env
+                    L2 = tuple(
+                        Lk + jnp.where(add, tk * mis_esc * lek, 0.0)
+                        for Lk, tk, lek in zip(L, thr, le_env))
+                    # esc rides as i32 (a bool vector as an scf.if result
+                    # is outside the op set every other cond here uses)
+                    return (seed, L2[0], L2[1], L2[2], esc.astype(i32))
+
+                def esc_skip(c):
+                    return (c[0], c[1], c[2], c[3],
+                            jnp.zeros(LANES, i32))
+
+                seed, L0, L1, L2_, esc_i = lax.cond(
+                    jnp.any(esc0), esc_do, esc_skip,
+                    (seed, L[0], L[1], L[2]))
+                L = (L0, L1, L2_)
+                esc = esc_i != 0
             else:
                 esc = jnp.zeros(LANES, jnp.bool_)
 
@@ -1312,18 +1594,26 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
     jax.jit,
     static_argnames=("meta", "width", "n_strips", "spp", "k_march",
                      "test_every", "unroll", "escape_every", "compact",
-                     "queue_items", "interpret", "env_rgbe", "probe_dup"),
+                     "queue_items", "interpret", "env_rgbe", "probe_dup",
+                     "escape_rounds", "resolve_rounds", "resolve_full",
+                     "escape_full", "nee_full"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
                        compact, queue_items, interpret, env_rgbe=False,
-                       probe_dup=()):
+                       probe_dup=(), escape_rounds=4, resolve_rounds=2,
+                       resolve_full=False, escape_full=False,
+                       nee_full=False):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
     kernel = _make_kernel(meta, width, spp, k_march, test_every, unroll,
                           max_iters, escape_every, compact, queue_items,
-                          env_rgbe=env_rgbe, probe_dup=probe_dup)
+                          env_rgbe=env_rgbe, probe_dup=probe_dup,
+                          escape_rounds=escape_rounds,
+                          resolve_rounds=resolve_rounds,
+                          resolve_full=resolve_full,
+                          escape_full=escape_full, nee_full=nee_full)
 
     img_rows = (queue_items // 128) if queue_items else 8
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -1343,6 +1633,11 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
     table_order = ("atlas_p", "meta_slot", "meta_lo", "meta_hi", "mip_maj")
     pool_order = ("wx", "wy", "wz", "pdf", "ler", "leg", "leb")
     env_keys = ("env_rgbe",) if env_rgbe else ("env_r", "env_g", "env_b")
+    if meta.tf_rows:
+        env_keys = env_keys + ("tf_r", "tf_g", "tf_b", "tf_a")
+    if meta.emi_n_slots:
+        env_keys = env_keys + ("emi_atlas_p", "emi_slot", "emi_lo",
+                               "emi_hi")
     in_specs = (
         [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [tab_spec(tabs[k]) for k in table_order]
@@ -1378,11 +1673,17 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
 def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   k_march=8, test_every=4, unroll=2, escape_every=2,
                   compact=True, queue_items=None, interpret=None,
-                  return_iters=False, env_rgbe=True, probe_dup=()):
+                  return_iters=False, env_rgbe=True, probe_dup=(),
+                  mip_override=None, escape_rounds=4, resolve_rounds=2,
+                  resolve_full=False, escape_full=False, nee_full=False):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
-    chunked-engine csize=spp streams (module doc)."""
+    chunked-engine csize=spp streams (module doc).
+
+    ``mip_override`` replaces the majorant mip table — the TF path
+    passes the per-trace pre-baked TF-transformed table here
+    (renderer._render_pallas)."""
     if n_pix % 1024:
         raise ValueError("pallas engine needs n_pix % 1024 == 0")
     if interpret is None:
@@ -1395,12 +1696,21 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
             raise ValueError("n_pix must divide into queue super-blocks")
     grid_n = (n_pix // queue_items) if queue_items else (n_pix // 1024)
     tabs = {k: v for k, v in packed._asdict().items() if k != "meta"}
+    if mip_override is not None:
+        tabs["mip_maj"] = mip_override
+    elif packed.meta.tf_rows:
+        raise ValueError(
+            "TF scenes need the pre-baked TF majorant table "
+            "(mip_override; see renderer._render_pallas)")
     img, iters = _render_strips_jit(
         tabs, pool, pf, pi, packed.meta, int(width), grid_n,
         int(spp), int(k_march), int(test_every), int(unroll),
         int(escape_every), bool(compact), int(queue_items),
         bool(interpret), env_rgbe=bool(env_rgbe),
-        probe_dup=tuple(probe_dup))
+        probe_dup=tuple(probe_dup), escape_rounds=int(escape_rounds),
+        resolve_rounds=int(resolve_rounds),
+        resolve_full=bool(resolve_full), escape_full=bool(escape_full),
+        nee_full=bool(nee_full))
     if return_iters:
         return img, iters
     return img

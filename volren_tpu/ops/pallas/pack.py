@@ -53,6 +53,11 @@ PF_ENV_XFORM = 51     # 9 row-major (3,3)
 PF_ENV_STRENGTH = 60
 PF_IMP_AVG = 61
 PF_SHOW_ENV = 62      # 0.0 / 1.0
+PF_TF_LEFT = 63       # TF density window (transferfunc.cpp:79-93)
+PF_TF_WIDTH = 64
+PF_EMI_SCALE = 65     # emission_scale (common.glsl:324-328)
+PF_EMI_NORM = 66      # 1 / emission majorant
+PF_EMI_X = 67         # 16 row-major (4,4): density-index -> emission-index
 
 # pi (1, 16) i32 slot map
 PI_WIDTH = 0
@@ -76,6 +81,11 @@ class PackedMeta(NamedTuple):
     env_w: int
     env_rows: int            # Ep
     pool_rows: int           # Pp
+    tf_rows: int = 0         # TF LUT channel rows (0 = no TF kernel)
+    tf_size: int = 0         # TF LUT bins
+    emi_n_bricks: tuple = (0, 0, 0)   # emission grid (bx, by, bz)
+    emi_meta_rows: int = 0
+    emi_n_slots: int = 0     # emission atlas rows (0 = no emission)
 
 
 class PackedScene(NamedTuple):
@@ -88,6 +98,17 @@ class PackedScene(NamedTuple):
     env_g: jnp.ndarray
     env_b: jnp.ndarray
     env_rgbe: jnp.ndarray    # (Ep, 128) int32 shared-exponent pack
+    # TF LUT channels, (tf_rows, 128) f32 ((1,128) zero dummies when the
+    # scene has no TF — pytree shape must be commit-stable)
+    tf_r: jnp.ndarray
+    tf_g: jnp.ndarray
+    tf_b: jnp.ndarray
+    tf_a: jnp.ndarray
+    # emission brick grid ((1,128) dummies when absent)
+    emi_atlas_p: jnp.ndarray  # (Se, 128) int32
+    emi_slot: jnp.ndarray     # (Bep, 128) int32
+    emi_lo: jnp.ndarray
+    emi_hi: jnp.ndarray
     meta: PackedMeta
 
 
@@ -133,30 +154,41 @@ def _pad_rows(flat, fill=0):
 
 
 def supports_scene(scene, cfg) -> bool:
-    """v1 kernel scope: brick density grid, no TF, no emission grid, and
-    an atlas that fits VMEM next to the working set."""
-    if cfg.use_tf or cfg.has_emission:
-        return False
-    if scene.emission is not None or scene.tf is not None:
-        return False
-    if scene.density.atlas.shape[0] > 12288:  # 6 MB packed
+    """Kernel scope: brick density grid (+ optional TF LUT <= 2048 bins,
+    + optional emission brick grid) with atlases that fit VMEM next to
+    the working set. The one hard gate left is total atlas size
+    (round-3 verdict #2: TF/emission are now in-kernel)."""
+    rows = int(scene.density.atlas.shape[0])
+    if cfg.has_emission and scene.emission is not None:
+        rows += int(scene.emission.atlas.shape[0])
+    if cfg.use_tf:
+        if scene.tf is None or int(scene.tf.lut.shape[0]) > 2048:
+            return False
+    if rows > 12288:  # 6 MB packed
         return False
     return True
 
 
-def pack_scene(scene) -> PackedScene:
-    g = scene.density
-    bx, by, bz = g.n_bricks
-    # --- atlas: (S, 512) u8 -> (S, 128) i32 little-endian
+def _pack_brick_tables(g):
+    """(atlas_p, slot, lo, hi) (rows,128) tables for one brick grid."""
     a = g.atlas.astype(jnp.int32).reshape(-1, 128, 4)
     atlas_p = (a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16)
                | (a[..., 3] << 24))
-    # --- brick meta: (bz, by, bx, 3) -> flat z-major (matches
-    # grid._brick_index: bidx = (vz>>3)*(by*bx) + (vy>>3)*bx + (vx>>3))
     m = g.brick_meta.reshape(-1, 3)
-    meta_slot = _pad_rows(m[:, 0].astype(jnp.int32))
-    meta_lo = _pad_rows(m[:, 1])
-    meta_hi = _pad_rows(m[:, 2])
+    return (atlas_p, _pad_rows(m[:, 0].astype(jnp.int32)),
+            _pad_rows(m[:, 1]), _pad_rows(m[:, 2]))
+
+
+def pack_scene(scene, use_tf=None, use_emission=None) -> PackedScene:
+    """Pack the scene for the kernel. ``use_tf`` / ``use_emission``
+    default to presence on the scene; pass False to build the leaner
+    no-TF/no-emission kernel for a scene that has them."""
+    g = scene.density
+    bx, by, bz = g.n_bricks
+    # --- atlas: (S, 512) u8 -> (S, 128) i32 little-endian; brick meta
+    # flat z-major (matches grid._brick_index:
+    # bidx = (vz>>3)*(by*bx) + (vy>>3)*bx + (vx>>3))
+    atlas_p, meta_slot, meta_lo, meta_hi = _pack_brick_tables(g)
     mip_maj = _pad_rows(g.mip_maj)
     # --- envmap channels, flat v-order rows (matches envmap._bilinear)
     e = scene.env.envmap
@@ -166,6 +198,37 @@ def pack_scene(scene) -> PackedScene:
     env_g = _pad_rows(flat[:, 1])
     env_b = _pad_rows(flat[:, 2])
     env_rgbe = _pad_rows(rgbe_encode(flat[:, :3]))
+    # --- TF LUT channels (common.glsl:195-212 windowed lerp runs
+    # in-kernel; the LUT is CDF-rewritten on the host, transferfunc.py)
+    if use_tf is None:
+        use_tf = scene.tf is not None
+    dummy_f = jnp.zeros((1, 128), jnp.float32)
+    dummy_i = jnp.zeros((1, 128), jnp.int32)
+    if use_tf:
+        lut = scene.tf.lut
+        tf_size = int(lut.shape[0])
+        tf_r = _pad_rows(lut[:, 0])
+        tf_g = _pad_rows(lut[:, 1])
+        tf_b = _pad_rows(lut[:, 2])
+        tf_a = _pad_rows(lut[:, 3])
+        tf_rows = int(tf_r.shape[0])
+    else:
+        tf_size = tf_rows = 0
+        tf_r = tf_g = tf_b = tf_a = dummy_f
+    # --- emission brick grid (common.glsl:324-328)
+    if use_emission is None:
+        use_emission = scene.emission is not None
+    if use_emission and scene.emission is not None:
+        ge = scene.emission
+        ebx, eby, ebz = ge.n_bricks
+        emi_atlas_p, emi_slot, emi_lo, emi_hi = _pack_brick_tables(ge)
+        emi_n_slots = int(emi_atlas_p.shape[0])
+        emi_meta_rows = int(emi_slot.shape[0])
+    else:
+        ebx = eby = ebz = 0
+        emi_atlas_p, emi_slot = dummy_i, dummy_i
+        emi_lo = emi_hi = dummy_f
+        emi_n_slots = emi_meta_rows = 0
     meta = PackedMeta(
         n_bricks=(bx, by, bz),
         mip_dims=tuple(tuple(d) for d in g.mip_dims),
@@ -177,9 +240,16 @@ def pack_scene(scene) -> PackedScene:
         env_w=ew,
         env_rows=int(env_r.shape[0]),
         pool_rows=POOL_N // 128,
+        tf_rows=tf_rows,
+        tf_size=tf_size,
+        emi_n_bricks=(ebx, eby, ebz),
+        emi_meta_rows=emi_meta_rows,
+        emi_n_slots=emi_n_slots,
     )
     return PackedScene(atlas_p, meta_slot, meta_lo, meta_hi, mip_maj,
-                       env_r, env_g, env_b, env_rgbe, meta)
+                       env_r, env_g, env_b, env_rgbe,
+                       tf_r, tf_g, tf_b, tf_a,
+                       emi_atlas_p, emi_slot, emi_lo, emi_hi, meta)
 
 
 POOL_N = 16384  # env NEE sample pool size (128 rows)
@@ -235,6 +305,16 @@ def build_params_rows(scene, params, width, full_height, spp_base, pix0=0):
     pf = put(PF_ENV_STRENGTH, scene.env.strength)
     pf = put(PF_IMP_AVG, scene.env.imp_mips[-1].reshape(()))
     pf = put(PF_SHOW_ENV, params.show_environment.astype(f32))
+    if scene.tf is not None:
+        pf = put(PF_TF_LEFT, scene.tf.window_left)
+        pf = put(PF_TF_WIDTH, scene.tf.window_width)
+    if scene.emission is not None:
+        pf = put(PF_EMI_SCALE, params.emission_scale)
+        pf = put(PF_EMI_NORM, params.emission_norm)
+        # one combined (4,4): density-index -> world -> emission-index
+        # (lookup_emission's two hops, ops/grid.py:193-213, pre-composed)
+        emi_x = scene.emission.inv_transform @ scene.density.transform
+        pf = put(PF_EMI_X, emi_x.reshape(-1))
 
     pi = jnp.zeros((16,), jnp.int32)
     pi = pi.at[PI_WIDTH].set(jnp.asarray(width, jnp.int32))

@@ -445,7 +445,8 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
     per_dev = n_pad // n_dev
     qi = 1024 * math.gcd(per_dev // 1024, 64)
 
-    packed = PL.pack_scene(scene)
+    packed = PL.pack_scene(scene, use_tf=cfg.use_tf,
+                           use_emission=cfg.has_emission)
     if seed is None:
         seed = int(np.asarray(params.seed))
     pool = build_env_pool(scene, seed, int(spp_base))
@@ -454,6 +455,14 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
         [pi0.at[0, PI_PIX0].set(d * per_dev) for d in range(n_dev)], axis=0)
 
     tabs = {k: v for k, v in packed._asdict().items() if k != "meta"}
+    if cfg.use_tf:
+        # pre-baked TF majorant table (see renderer._render_pallas)
+        from ..ops.transfer import tf_alpha_majorant
+
+        raw = packed.mip_maj
+        d_norm = params.density_scale * raw * params.inv_majorant
+        tabs["mip_maj"] = params.majorant * tf_alpha_majorant(
+            scene.tf, d_norm.reshape(-1), onehot=False).reshape(raw.shape)
     meta = packed.meta
     interpret = jax.default_backend() != "tpu"
     repl = NamedSharding(mesh, P())
@@ -477,5 +486,8 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
         worker, mesh=mesh,
         in_specs=(P(), P(), P(), P(axes, None)),
         out_specs=P(axes, None),
+        # pallas_call's out_shape carries no vma annotation; the output
+        # is trivially per-shard (pixel bands), so skip the vma check
+        check_vma=False,
     )(tabs, pool, pf, pi_all)
     return out[:n_pix].reshape(height, width, 4)

@@ -83,8 +83,21 @@ class Renderer:
         )
         # pallas megakernel engine knobs (ops/pallas/kernel.py; measured
         # optimum in probes/results/pallas7.jsonl)
+        # kernel-engine knobs; defaults = the round-4 sweep optimum at
+        # 1024^2 (km4 te2 u2 ee1 + full-lane serving,
+        # probes/results/pallas9d/9e.jsonl): at queue saturation the
+        # per-128 compaction tax loses to the full 8-sublane scans
         self.pallas_test_every = int(os.environ.get("VOLREN_PALLAS_TE", "2"))
         self.pallas_unroll = int(os.environ.get("VOLREN_PALLAS_UNROLL", "2"))
+        self.pallas_k_march = int(os.environ.get("VOLREN_PALLAS_KM", "4"))
+        self.pallas_escape_every = int(
+            os.environ.get("VOLREN_PALLAS_EE", "1"))
+        self.pallas_resolve_full = os.environ.get(
+            "VOLREN_PALLAS_RFULL", "1") == "1"
+        self.pallas_escape_full = os.environ.get(
+            "VOLREN_PALLAS_EFULL", "0") == "1"
+        self.pallas_nee_full = os.environ.get(
+            "VOLREN_PALLAS_NFULL", "0") == "1"
         # queue-engine knobs (None = auto): lane-array size and samples per
         # work item. csize=None renders each pixel's spp on one lane
         # (bit-identical to the other engines); smaller csize bounds the
@@ -274,11 +287,17 @@ class Renderer:
         cfg = self._config()
         if not _plk.supports_scene(scene, cfg):
             raise NotImplementedError(
-                "pallas engine v1 covers no-TF/no-emission scenes with "
-                "atlases <= 12288 slots; use step_engine='device_queue'"
+                "pallas engine covers scenes whose atlases fit VMEM "
+                "(density + emission <= 12288 slots) and TF LUTs <= "
+                "2048 bins; use step_engine='device_queue'"
             )
-        if self._pallas_packed is None:
-            self._pallas_packed = _plk.pack_scene(scene)
+        frame = self.volume.grid_frame_counter
+        if self._pallas_packed is None or self._pallas_packed[0] != frame:
+            # keyed on the animation frame (a stale pack rendered frame 0
+            # forever on animated volumes)
+            self._pallas_packed = (frame, _plk.pack_scene(
+                scene, use_tf=cfg.use_tf, use_emission=cfg.has_emission))
+        packed = self._pallas_packed[1]
         params = self._trace_params()
         n_pix = self._width * self._height
         n_pad = -(-n_pix // 1024) * 1024
@@ -291,10 +310,29 @@ class Renderer:
         import math
 
         qi = 1024 * math.gcd(n_pad // 1024, 64)
+        mip_override = None
+        if cfg.use_tf:
+            # pre-bake the TF majorant transform into the mip table (it
+            # depends only on cell values + per-trace params; the kernel
+            # then fetches TF-ready majorants at zero per-step cost)
+            from .ops.transfer import tf_alpha_majorant
+
+            raw = packed.mip_maj
+            d_norm = (params.density_scale * raw * params.inv_majorant)
+            mip_override = params.majorant * tf_alpha_majorant(
+                scene.tf, d_norm.reshape(-1), onehot=False
+            ).reshape(raw.shape)
         out = render_strips(
-            self._pallas_packed, pool, pf, pi, n_pad, self._width, spp,
+            packed, pool, pf, pi, n_pad, self._width, spp,
             queue_items=qi, test_every=self.pallas_test_every,
-            unroll=self.pallas_unroll, escape_every=self.pallas_unroll,
+            unroll=self.pallas_unroll, k_march=self.pallas_k_march,
+            escape_every=self.pallas_escape_every,
+            # the full-lane resolve covers the no-TF/no-emission kernel
+            resolve_full=(self.pallas_resolve_full and not cfg.use_tf
+                          and not cfg.has_emission),
+            escape_full=self.pallas_escape_full,
+            nee_full=self.pallas_nee_full,
+            mip_override=mip_override,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
 
@@ -382,7 +420,8 @@ class Renderer:
                         seed=int(self.seed),
                         test_every=self.pallas_test_every,
                         unroll=self.pallas_unroll,
-                        escape_every=self.pallas_unroll,
+                        k_march=self.pallas_k_march,
+                        escape_every=self.pallas_escape_every,
                     )
                 else:
                     from .parallel.sharding import render_sharded

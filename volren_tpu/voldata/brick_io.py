@@ -72,13 +72,17 @@ def read_brick(path: str) -> BrickGrid:
 
     # indirection
     (sx, sy, sz), n, off = _read_buf_header(data, off)
-    assert (sx, sy, sz) == nb, "indirection extent must match n_bricks"
+    if (sx, sy, sz) != nb:
+        raise ValueError("corrupt .brick: indirection extent must match "
+                         f"n_bricks ({(sx, sy, sz)} != {nb})")
     packed = np.frombuffer(data, "<u4", n, off).reshape(sz, sy, sx)
     off += n * 4
 
     # range
     (rx, ry, rz), n, off = _read_buf_header(data, off)
-    assert (rx, ry, rz) == (sx, sy, sz), "range extent must match indirection"
+    if (rx, ry, rz) != (sx, sy, sz):
+        raise ValueError("corrupt .brick: range extent must match "
+                         f"indirection ({(rx, ry, rz)} != {(sx, sy, sz)})")
     range_ = (
         np.frombuffer(data, "<f2", n * 2, off).astype(np.float32).reshape(rz, ry, rx, 2)
     )

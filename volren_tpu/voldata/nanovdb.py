@@ -123,9 +123,15 @@ def _densify_nanovdb_grid(buf: np.ndarray, index_bbox) -> DenseGrid:
     leaf_count = struct.unpack_from("<I", data, tree_off + 32)[0]
 
     x0, y0, z0, x1, y1, z1 = index_bbox
-    if x1 < x0:
+    if x1 < x0 or y1 < y0 or z1 < z0:
         raise ValueError("empty NanoVDB grid")
     nx, ny, nz = x1 - x0 + 1, y1 - y0 + 1, z1 - z0 + 1
+    # allocation guard: the densified bbox is file-controlled data — a
+    # corrupted header must raise, not exhaust memory (loader fuzz pass)
+    if nx * ny * nz > 512 * 1024 * 1024:
+        raise ValueError(
+            f"NanoVDB index bbox {nx}x{ny}x{nz} too large to densify "
+            "(corrupted header?)")
     dense = np.zeros((nz, ny, nx), dtype=np.float32)
 
     # leaf nodes are 8^3 float leaves: LeafData<float> =

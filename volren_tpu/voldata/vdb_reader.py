@@ -166,12 +166,18 @@ def _read_compressed_block(r: _Reader, n_bytes, compression):
         csize = r.i64()
         if csize <= 0:
             return r.read(n_bytes)
-        return blosc.decompress(r.read(csize))
+        try:
+            return blosc.decompress(r.read(csize))
+        except Exception as e:  # codec errors -> uniform loader error
+            raise ValueError(f"corrupt Blosc block in .vdb: {e}") from e
     if compression & COMPRESS_ZIP:
         csize = r.i64()
         if csize <= 0:
             return r.read(n_bytes)
-        return zlib.decompress(r.read(csize))
+        try:
+            return zlib.decompress(r.read(csize))
+        except zlib.error as e:
+            raise ValueError(f"corrupt ZIP block in .vdb: {e}") from e
     return r.read(n_bytes)
 
 
@@ -359,6 +365,12 @@ def _read_float_grid(r: _Reader, desc, file_version, file_compression) -> DenseG
     bb_min = np.min(mins, axis=0)
     bb_max = np.max(maxs, axis=0)
     nx, ny, nz = (bb_max - bb_min).astype(int)
+    # allocation guard: node origins are file-controlled — a corrupted
+    # coordinate must raise, not exhaust memory (loader fuzz pass)
+    if int(nx) * int(ny) * int(nz) > 512 * 1024 * 1024:
+        raise ValueError(
+            f"OpenVDB active bbox {nx}x{ny}x{nz} too large to densify "
+            "(corrupted node table?)")
     dense = np.zeros((nz, ny, nx), np.float32)
     for origin, size, val in all_tiles:
         o = np.asarray(origin, np.int64) - bb_min
