@@ -129,6 +129,29 @@ def test_queue_mode_matches_strip(random_grid16):
     assert np.array_equal(a, b)
 
 
+def test_sublanes_match(random_grid16):
+    """Wider lane blocks ((16,128), (32,128)) are pure scheduling: the
+    per-(pixel, sample) TEA streams don't depend on which lane serves a
+    sample, so the image is bitwise identical to the (8,128) default."""
+    r = _tiny_renderer(random_grid16)
+    scene, params = r._scene_device(), r._trace_params()
+    from volren_tpu.ops.pallas import pack_scene
+    from volren_tpu.ops.pallas.kernel import render_strips
+    from volren_tpu.ops.pallas.pack import build_env_pool, build_params_rows
+
+    packed = pack_scene(scene)
+    pool = build_env_pool(scene, 123, 0)
+    pf, pi = build_params_rows(scene, params, 32, 32, 0)
+    base = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                    queue_items=1024))
+    # 32 sublanes = 4096 lanes > 1024 items also exercises the
+    # inactive-surplus-lane path of the dequeue
+    for sub in (16, 32):
+        wide = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                        queue_items=1024, sublanes=sub))
+        assert np.array_equal(base, wide), sub
+
+
 def _chunked_ref_and_noise(r, spp, res):
     from volren_tpu.ops.megakernel import render_wavefront_chunked
 

@@ -262,7 +262,7 @@ def _scan_gather_block(tabs, r, c, b0, bn):
     iota_n = jax.lax.broadcasted_iota(i32, (bn, 128), 0) + b0
     ones = jnp.ones((1, bn), f32)
     out_rows = [[] for _ in tabs]
-    for i in range(8):
+    for i in range(r.shape[0]):
         c_b = jnp.broadcast_to(c[i:i + 1, :], (bn, 128))
         r_b = jnp.broadcast_to(r[i:i + 1, :], (bn, 128))
         hit = iota_n == r_b
@@ -304,7 +304,7 @@ def _scan_gather(tabs, r, c, rows, block=0):
     have summed exactly 0)."""
     if not block or rows <= block:
         return _scan_gather_block(tabs, r, c, 0, rows)
-    outs = tuple(jnp.zeros((8, 128), t.dtype) for t in tabs)
+    outs = tuple(jnp.zeros(r.shape, t.dtype) for t in tabs)
     for b0 in range(0, rows, block):
         bn = min(block, rows - b0)
 
@@ -323,15 +323,15 @@ def _prefix_ranks(mask):
     row-offset accumulation. Returns (rank (8,128) i32, counts (8,128)
     broadcast of the running inclusive totals' last row)."""
     x = jnp.where(mask, 1, 0).astype(i32)
-    lane_iota = jax.lax.broadcasted_iota(i32, LANES, 1)
+    lane_iota = jax.lax.broadcasted_iota(i32, mask.shape, 1)
     s = x
     for d in (1, 2, 4, 8, 16, 32, 64):
         sh = pltpu.roll(s, d, 1)
         s = s + jnp.where(lane_iota >= d, sh, 0)
-    row_tot = s[:, 127:128]                       # (8,1) inclusive
+    row_tot = s[:, 127:128]                       # (nsub,1) inclusive
     offs_rows = []
     acc = jnp.zeros((1, 1), i32)
-    for irow in range(8):
+    for irow in range(mask.shape[0]):
         offs_rows.append(jnp.broadcast_to(acc, (1, 128)))
         acc = acc + row_tot[irow:irow + 1, :]
     offs = jnp.concatenate(offs_rows, axis=0)     # (8,128) exclusive
@@ -346,7 +346,7 @@ def _compact_rows(vals, rankc, served):
     shared across all fields."""
     iota_k = jax.lax.broadcasted_iota(i32, (128, 128), 0)
     outs = [jnp.zeros((1, 128), v.dtype) for v in vals]
-    for irow in range(8):
+    for irow in range(rankc.shape[0]):
         K = (iota_k == jnp.broadcast_to(rankc[irow:irow + 1, :],
                                         (128, 128))) \
             & jnp.broadcast_to(served[irow:irow + 1, :], (128, 128))
@@ -417,7 +417,7 @@ def _route_back(rows_vals, rankc):
     dynamic_gather operands fail Mosaic's tiling)."""
     outs = []
     for o0 in rows_vals:
-        o8 = jnp.broadcast_to(o0, (8, 128))
+        o8 = jnp.broadcast_to(o0, rankc.shape)
         outs.append(jnp.take_along_axis(o8, rankc, axis=1))
     return outs
 
@@ -489,9 +489,9 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  max_iters, escape_every, compact, queue_items=0,
                  env_rgbe=False, probe_dup=(), escape_rounds=4,
                  resolve_rounds=2, resolve_full=False, escape_full=False,
-                 nee_full=False):
+                 nee_full=False, sublanes=8):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
-    owns a super-block of `queue_items` pixels; 1024 persistent lanes
+    owns a super-block of `queue_items` pixels; sublanes*128 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
     _prefix_ranks, <=128 per while-iteration) and flush finished
     per-pixel sums into the output block through an MXU outer-product
@@ -526,6 +526,13 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             "TF trilinear / emission fetches still serve compacted)")
 
     def kernel(*refs):
+        # widen the live lane block beyond the native (8,128) f32 tile:
+        # serving scans are O(table_rows x sublanes) and march is
+        # per-lane vector work (both per-lane-constant), but the
+        # per-while-iteration FIXED costs (carry bookkeeping, dequeue,
+        # cond scans) amortize over sublanes — measured ladder in
+        # probes/results/pallas9f.jsonl
+        LANES = (sublanes, 128)  # noqa: shadows the module default
         refs = list(refs)
 
         def take(n):
@@ -579,7 +586,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             sb_base = pix0 + strip * queue_items  # flat-pixel base
             px = py = None  # carried in state (lane->pixel is dynamic)
         else:
-            pix = pix0 + strip * 1024 + lane
+            pix = pix0 + strip * (sublanes * 128) + lane
             px = pix % W
             py = pix // W
 
@@ -1419,7 +1426,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         og_ref[:] = ozero
         ob_ref[:] = ozero
         oa_ref[:] = ozero
-        oit_ref[:] = zero
+        oit_ref[:] = jnp.zeros((8, 128), f32)
         s = {
             "mode": jnp.full(LANES, MODE_REGEN, i32),
             "event": zeroi,
@@ -1558,10 +1565,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             init = (jnp.zeros((1, 1), i32), jnp.zeros((1, 1), i32)) \
                 + tuple(s[k] for k in keys)
             out = lax.while_loop(cond, body, init)
-            oit = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
+            oit = jnp.broadcast_to(out[0][0, 0].astype(f32), (8, 128))
             if "carry8" in probe_dup:
                 for q in range(8):
-                    oit = oit + f32(1e-30) * out[2 + keys.index(f"dum{q}")]
+                    oit = oit + f32(1e-30) \
+                        * out[2 + keys.index(f"dum{q}")][:8, :]
             oit_ref[:] = oit
         else:
             def cond(c):
@@ -1585,7 +1593,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             out = lax.while_loop(cond, body, init)
             # per-strip while-iteration count (diagnostics: drain-tail
             # inflation = iters*lanes / (pixels*spp*steps_per_sample))
-            oit_ref[:] = jnp.broadcast_to(out[0][0, 0].astype(f32), LANES)
+            oit_ref[:] = jnp.broadcast_to(out[0][0, 0].astype(f32),
+                                          (8, 128))
 
     return kernel
 
@@ -1596,14 +1605,14 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                      "test_every", "unroll", "escape_every", "compact",
                      "queue_items", "interpret", "env_rgbe", "probe_dup",
                      "escape_rounds", "resolve_rounds", "resolve_full",
-                     "escape_full", "nee_full"),
+                     "escape_full", "nee_full", "sublanes"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
                        compact, queue_items, interpret, env_rgbe=False,
                        probe_dup=(), escape_rounds=4, resolve_rounds=2,
                        resolve_full=False, escape_full=False,
-                       nee_full=False):
+                       nee_full=False, sublanes=8):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
@@ -1613,9 +1622,10 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                           escape_rounds=escape_rounds,
                           resolve_rounds=resolve_rounds,
                           resolve_full=resolve_full,
-                          escape_full=escape_full, nee_full=nee_full)
+                          escape_full=escape_full, nee_full=nee_full,
+                          sublanes=sublanes)
 
-    img_rows = (queue_items // 128) if queue_items else 8
+    img_rows = (queue_items // 128) if queue_items else sublanes
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
                  for _ in range(4)]
     out_shape.append(jax.ShapeDtypeStruct((n_strips * 8, 128), f32))
@@ -1675,7 +1685,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   compact=True, queue_items=None, interpret=None,
                   return_iters=False, env_rgbe=True, probe_dup=(),
                   mip_override=None, escape_rounds=4, resolve_rounds=2,
-                  resolve_full=False, escape_full=False, nee_full=False):
+                  resolve_full=False, escape_full=False, nee_full=False,
+                  sublanes=8):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -1684,17 +1695,24 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
     ``mip_override`` replaces the majorant mip table — the TF path
     passes the per-trace pre-baked TF-transformed table here
     (renderer._render_pallas)."""
-    if n_pix % 1024:
-        raise ValueError("pallas engine needs n_pix % 1024 == 0")
+    lane_block = int(sublanes) * 128
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if queue_items is None:
         queue_items = 0
     else:
         queue_items = min(int(queue_items), n_pix)
-        if n_pix % queue_items:
-            raise ValueError("n_pix must divide into queue super-blocks")
-    grid_n = (n_pix // queue_items) if queue_items else (n_pix // 1024)
+        if n_pix % queue_items or queue_items % 1024:
+            raise ValueError("n_pix must divide into queue super-blocks "
+                             "(queue_items % 1024 == 0)")
+    if not queue_items and n_pix % lane_block:
+        # strip mode maps lanes to pixels statically; queue mode only
+        # needs the super-block tiling (lanes beyond the item count
+        # just stay inactive)
+        raise ValueError(
+            f"pallas strip mode needs n_pix % {lane_block} == 0")
+    grid_n = (n_pix // queue_items) if queue_items else \
+        (n_pix // lane_block)
     tabs = {k: v for k, v in packed._asdict().items() if k != "meta"}
     if mip_override is not None:
         tabs["mip_maj"] = mip_override
@@ -1710,7 +1728,7 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         probe_dup=tuple(probe_dup), escape_rounds=int(escape_rounds),
         resolve_rounds=int(resolve_rounds),
         resolve_full=bool(resolve_full), escape_full=bool(escape_full),
-        nee_full=bool(nee_full))
+        nee_full=bool(nee_full), sublanes=int(sublanes))
     if return_iters:
         return img, iters
     return img
