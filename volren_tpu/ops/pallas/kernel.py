@@ -489,7 +489,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  max_iters, escape_every, compact, queue_items=0,
                  env_rgbe=False, probe_dup=(), escape_rounds=4,
                  resolve_rounds=2, resolve_full=False, escape_full=False,
-                 nee_full=False, sublanes=8):
+                 nee_full=False, sublanes=8, tile_w=0, scan_blocks=8):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; sublanes*128 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -585,6 +585,22 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         if queue_items:
             sb_base = pix0 + strip * queue_items  # flat-pixel base
             px = py = None  # carried in state (lane->pixel is dynamic)
+            if tile_w:
+                # RECTANGULAR super-blocks: the instance owns a
+                # tile_w x (queue_items/tile_w) pixel tile instead of a
+                # W x (queue_items/W) band. Pure scheduling (each pixel's
+                # sample streams are unchanged) but the live rays' spatial
+                # footprint shrinks ~4x, so the demand-clustered block
+                # skips in the atlas/env scans hit far fewer blocks
+                # (pallas9g). Requires pix0 % queue_items == 0 and
+                # tile_w a power of two dividing W.
+                tpr = W // tile_w
+                tile_h = queue_items // tile_w
+                g_tile = sb_base // queue_items
+                tx0 = (g_tile % tpr) * tile_w
+                ty0 = (g_tile // tpr) * tile_h
+                tw_mask = tile_w - 1
+                tw_shift = int(tile_w).bit_length() - 1
         else:
             pix = pix0 + strip * (sublanes * 128) + lane
             px = pix % W
@@ -636,13 +652,13 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                                    served=served, block=block)[0]
 
         # block-skip sizes (static): scans over tall tables run in
-        # lax.cond-skipped row blocks (<= 8 blocks — conds are cheap but
-        # bloat Mosaic compile). Short tables scan in one pass.
+        # lax.cond-skipped row blocks (scan_blocks of them — conds are
+        # cheap but bloat Mosaic compile). Short tables scan in one pass.
         def _blk(rows):
-            if rows <= 1024:
+            if rows <= 1024 // scan_blocks * 8:
                 return 0
-            eighth = -(-rows // 8)
-            return -(-eighth // 8) * 8          # ceil(rows/8), 8-aligned
+            nth = -(-rows // scan_blocks)
+            return -(-nth // 8) * 8     # ceil(rows/scan_blocks), 8-aligned
 
         env_block = _blk(meta.env_rows)
         atlas_block = _blk(meta.n_slots)
@@ -1518,9 +1534,16 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 have = serve & (new_item < n_items)
                 s["item"] = jnp.where(have, new_item,
                                       jnp.where(serve, -1, s["item"]))
-                pixf = sb_base + jnp.where(have, new_item, 0)
-                s["px"] = jnp.where(have, pixf % W, s["px"])
-                s["py"] = jnp.where(have, pixf // W, s["py"])
+                if tile_w:
+                    it = jnp.where(have, new_item, 0)
+                    s["px"] = jnp.where(have, tx0 + (it & tw_mask),
+                                        s["px"])
+                    s["py"] = jnp.where(have, ty0 + (it >> tw_shift),
+                                        s["py"])
+                else:
+                    pixf = sb_base + jnp.where(have, new_item, 0)
+                    s["px"] = jnp.where(have, pixf % W, s["px"])
+                    s["py"] = jnp.where(have, pixf // W, s["py"])
                 s["spp_done"] = jnp.where(have, 0, s["spp_done"])
                 zf = jnp.where(have, 0.0, 1.0)
                 for nm in ("accR", "accG", "accB", "accA"):
@@ -1605,14 +1628,16 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                      "test_every", "unroll", "escape_every", "compact",
                      "queue_items", "interpret", "env_rgbe", "probe_dup",
                      "escape_rounds", "resolve_rounds", "resolve_full",
-                     "escape_full", "nee_full", "sublanes"),
+                     "escape_full", "nee_full", "sublanes", "tile_w",
+                     "scan_blocks"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
                        compact, queue_items, interpret, env_rgbe=False,
                        probe_dup=(), escape_rounds=4, resolve_rounds=2,
                        resolve_full=False, escape_full=False,
-                       nee_full=False, sublanes=8):
+                       nee_full=False, sublanes=8, tile_w=0,
+                       scan_blocks=8, perm=None):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
@@ -1623,7 +1648,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                           resolve_rounds=resolve_rounds,
                           resolve_full=resolve_full,
                           escape_full=escape_full, nee_full=nee_full,
-                          sublanes=sublanes)
+                          sublanes=sublanes, tile_w=tile_w,
+                          scan_blocks=scan_blocks)
 
     img_rows = (queue_items // 128) if queue_items else sublanes
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -1677,7 +1703,32 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
     img = jnp.stack(
         [r.reshape(n_pix), g.reshape(n_pix), b.reshape(n_pix),
          a.reshape(n_pix)], axis=-1)
+    if perm is not None:
+        # tile mode: output position g*qi+i holds tile g's i-th pixel;
+        # perm maps flat pixel index -> output position
+        img = jnp.take(img, perm, axis=0)
     return img, iters[::8, 0]  # one iteration count per grid instance
+
+
+_PERM_CACHE = {}
+
+
+def _tile_perm(n_pad, width, qi, tile_w):
+    """flat pixel index -> tile-mode output position (device i32,
+    cached per shape)."""
+    key = (n_pad, width, qi, tile_w)
+    if key not in _PERM_CACHE:
+        import numpy as _np
+
+        th = qi // tile_w
+        tpr = width // tile_w
+        p = _np.arange(n_pad, dtype=_np.int64)
+        px = p % width
+        py = p // width
+        g = (py // th) * tpr + (px // tile_w)
+        i = (py % th) * tile_w + (px % tile_w)
+        _PERM_CACHE[key] = jnp.asarray((g * qi + i).astype(_np.int32))
+    return _PERM_CACHE[key]
 
 
 def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
@@ -1686,7 +1737,7 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   return_iters=False, env_rgbe=True, probe_dup=(),
                   mip_override=None, escape_rounds=4, resolve_rounds=2,
                   resolve_full=False, escape_full=False, nee_full=False,
-                  sublanes=8):
+                  sublanes=8, tile_w=0, scan_blocks=8):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -1711,6 +1762,20 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         # just stay inactive)
         raise ValueError(
             f"pallas strip mode needs n_pix % {lane_block} == 0")
+    tile_w = int(tile_w)
+    perm = None
+    if tile_w:
+        th = queue_items // tile_w if queue_items else 0
+        if (not queue_items or width % tile_w
+                or tile_w & (tile_w - 1)
+                or queue_items % tile_w
+                or n_pix % (width * th)):
+            raise ValueError(
+                "tile_w needs queue mode, a power-of-two tile_w "
+                "dividing width, and whole tile rows "
+                f"(n_pix={n_pix}, width={width}, qi={queue_items}, "
+                f"tile_w={tile_w})")
+        perm = _tile_perm(n_pix, width, queue_items, tile_w)
     grid_n = (n_pix // queue_items) if queue_items else \
         (n_pix // lane_block)
     tabs = {k: v for k, v in packed._asdict().items() if k != "meta"}
@@ -1728,7 +1793,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         probe_dup=tuple(probe_dup), escape_rounds=int(escape_rounds),
         resolve_rounds=int(resolve_rounds),
         resolve_full=bool(resolve_full), escape_full=bool(escape_full),
-        nee_full=bool(nee_full), sublanes=int(sublanes))
+        nee_full=bool(nee_full), sublanes=int(sublanes),
+        tile_w=tile_w, scan_blocks=int(scan_blocks), perm=perm)
     if return_iters:
         return img, iters
     return img

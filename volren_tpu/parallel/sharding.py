@@ -471,15 +471,22 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
     pf = jax.device_put(pf, repl)
     pi_all = jax.device_put(pi_all, NamedSharding(mesh, P(axes, None)))
 
-    kw = dict(test_every=2, unroll=2, escape_every=1, k_march=8)
+    kw = dict(test_every=2, unroll=2, escape_every=1, k_march=8,
+              resolve_full=not (cfg.use_tf or cfg.has_emission),
+              escape_full=False, nee_full=False, sublanes=8)
     kw.update(pallas_kw)
+    if cfg.use_tf or cfg.has_emission:
+        kw["resolve_full"] = False  # the full-lane resolve is no-TF-only
 
     def worker(tabs, pool, pf, pi):
         img, _iters = _render_strips_jit(
             tabs, pool, pf, pi, meta, int(width), per_dev // qi,
             int(spp), int(kw["k_march"]), int(kw["test_every"]),
             int(kw["unroll"]), int(kw["escape_every"]), True, qi,
-            interpret)
+            interpret, resolve_full=bool(kw["resolve_full"]),
+            escape_full=bool(kw["escape_full"]),
+            nee_full=bool(kw["nee_full"]),
+            sublanes=int(kw["sublanes"]))
         return img
 
     out = jax.shard_map(

@@ -105,6 +105,12 @@ class Renderer:
         # lane-block height (sublanes x 128 live lanes per instance)
         self.pallas_sublanes = int(os.environ.get("VOLREN_PALLAS_SUB",
                                                   "8"))
+        # rectangular queue super-blocks (-1 = auto square-ish tile;
+        # 0 = flat W-wide bands) and scan block-skip granularity
+        self.pallas_tile_w = int(os.environ.get("VOLREN_PALLAS_TILEW",
+                                                "-1"))
+        self.pallas_scan_blocks = int(
+            os.environ.get("VOLREN_PALLAS_SCANBLOCKS", "8"))
         # queue-engine knobs (None = auto): lane-array size and samples per
         # work item. csize=None renders each pixel's spp on one lane
         # (bit-identical to the other engines); smaller csize bounds the
@@ -317,6 +323,21 @@ class Renderer:
         import math
 
         qi = 1024 * math.gcd(n_pad // 1024, 64)
+        tile_w = self.pallas_tile_w
+        if tile_w < 0:
+            # auto: the largest power-of-two tile width <= sqrt(qi) that
+            # tiles the padded frame exactly (live rays' footprint
+            # shrinks ~4x vs a W-wide band -> block-skipped scans touch
+            # fewer blocks; probes/results/pallas9g.jsonl)
+            tile_w = 0
+            tw = 1 << (int(qi).bit_length() - 1) // 2
+            while tw >= 8:
+                th = qi // tw
+                if (self._width % tw == 0 and qi % tw == 0
+                        and n_pad % (self._width * th) == 0):
+                    tile_w = tw
+                    break
+                tw //= 2
         mip_override = None
         if cfg.use_tf:
             # pre-bake the TF majorant transform into the mip table (it
@@ -340,6 +361,8 @@ class Renderer:
             escape_full=self.pallas_escape_full,
             nee_full=self.pallas_nee_full,
             sublanes=self.pallas_sublanes,
+            tile_w=tile_w,
+            scan_blocks=self.pallas_scan_blocks,
             mip_override=mip_override,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
