@@ -144,8 +144,13 @@ def rgbe_decode_np(word):
 
 
 def _pad_rows(flat, fill=0):
+    # min 8 rows: Mosaic's dynamic_gather rejects operands shorter than
+    # one native (8,128) tile — a 256-bin TF LUT (2 rows) or a tiny
+    # volume's meta table crashes lowering with "Shape mismatch in
+    # input, indices and output" (round-4 anim probe, dicom_tf stage).
+    # Pad rows are zeros and are never indexed (row ids < true count).
     n = flat.shape[0]
-    rows = -(-n // 128)
+    rows = max(8, -(-n // 128))
     pad = rows * 128 - n
     if pad:
         flat = jnp.concatenate(
@@ -174,6 +179,10 @@ def _pack_brick_tables(g):
     a = g.atlas.astype(jnp.int32).reshape(-1, 128, 4)
     atlas_p = (a[..., 0] | (a[..., 1] << 8) | (a[..., 2] << 16)
                | (a[..., 3] << 24))
+    if atlas_p.shape[0] < 8:     # same Mosaic >= (8,128) tile rule
+        atlas_p = jnp.concatenate(
+            [atlas_p, jnp.zeros((8 - atlas_p.shape[0], 128),
+                                jnp.int32)])
     m = g.brick_meta.reshape(-1, 3)
     return (atlas_p, _pad_rows(m[:, 0].astype(jnp.int32)),
             _pad_rows(m[:, 1]), _pad_rows(m[:, 2]))

@@ -139,6 +139,7 @@ class Renderer:
         # shapes stable across single-frame commits in streaming-reload
         # loops), int = pad to that slot count, False = never pad
         self.pad_slots = None
+        self._commits = 0
 
     # ---- lifecycle (RendererOpenGL::init/resize/commit/trace/draw/reset) ----
 
@@ -178,7 +179,15 @@ class Renderer:
         # ACROSS commits), an int pads to that slot count, False disables.
         pad = self.pad_slots
         if pad is None:
-            pad = len(self.volume.grids) > 1
+            # auto: multi-frame volumes always bucket; single-frame
+            # RE-commits bucket too (a streaming reload — new Volume per
+            # frame, e.g. cli.py --animate over a VDB folder — would
+            # otherwise recompile every program on every frame because
+            # occupancy differs: 16.4 s/frame measured, anim.jsonl r4).
+            # The FIRST commit stays exact so static scenes keep their
+            # cache-stable shapes across sessions.
+            pad = len(self.volume.grids) > 1 or self._commits > 0
+        self._commits += 1
         density_bricks, emission_bricks = [], []
         for frame in self.volume.grids:
             density_bricks.append(to_brick_grid(frame["density"]))

@@ -15,9 +15,14 @@ vertical flip on load.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 DIMENSION = 512  # importance map resolution (reference: environment.cpp:6)
+
+# (abspath, mtime_ns, size) -> impmap mips; see Environment.__init__
+_IMPMAP_CACHE: dict = {}
 SAMPLES_PER_AXIS = 8  # sqrt(64) supersamples (environment.cpp:7)
 
 _LUMA = np.array([0.212671, 0.715160, 0.072169], dtype=np.float32)
@@ -55,9 +60,16 @@ class Environment:
     """
 
     def __init__(self, image: np.ndarray | str):
+        cache_key = None
         if isinstance(image, str):
             from ..utils.hdr import read_hdr
 
+            try:
+                st = os.stat(image)
+                cache_key = (os.path.abspath(image), st.st_mtime_ns,
+                             st.st_size)
+            except OSError:
+                cache_key = None
             image = read_hdr(image)
         image = np.atleast_3d(np.asarray(image, dtype=np.float32))
         if image.shape[-1] == 1:
@@ -66,7 +78,17 @@ class Environment:
         self.envmap = np.ascontiguousarray(image[::-1])
         self.transform = np.eye(3, dtype=np.float32)
         self.strength = 1.0
-        self.impmap_mips = build_importance_pyramid(self.envmap)
+        # the importance build is ~13 s of supersampled taps (64/texel);
+        # streaming loops that reconstruct Environment per frame from the
+        # same file (the reference rebinds one GL texture,
+        # main.cpp:477-523) must not pay it repeatedly — memoize on file
+        # identity (path, mtime, size). Arrays are treated as immutable.
+        if cache_key is not None and cache_key in _IMPMAP_CACHE:
+            self.impmap_mips = _IMPMAP_CACHE[cache_key]
+        else:
+            self.impmap_mips = build_importance_pyramid(self.envmap)
+            if cache_key is not None:
+                _IMPMAP_CACHE[cache_key] = self.impmap_mips
 
     @property
     def dimension(self) -> int:
