@@ -489,7 +489,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  max_iters, escape_every, compact, queue_items=0,
                  env_rgbe=False, probe_dup=(), escape_rounds=4,
                  resolve_rounds=2, resolve_full=False, escape_full=False,
-                 nee_full=False, sublanes=8, tile_w=0, scan_blocks=8):
+                 nee_full=False, sublanes=8, tile_w=0, scan_blocks=8,
+                 meta_block=0, nee_every=1):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; sublanes*128 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -524,6 +525,12 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         raise NotImplementedError(
             "resolve_full covers the no-TF/no-emission kernel (the "
             "TF trilinear / emission fetches still serve compacted)")
+    if nee_full and use_tf:
+        # the NEE TF tint's trilinear fetch serves COMPACTED (capacity
+        # 128*NEE_ROUNDS ranks); an uncapped full-lane NEE would tint
+        # overflow lanes with a wrong density. TF scenes take the
+        # compact NEE path (correctness, not a preference).
+        nee_full = False
 
     def kernel(*refs):
         # widen the live lane block beyond the native (8,128) f32 tile:
@@ -620,9 +627,12 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         emi_t = [ref[:] for ref in emi_refs]   # atlas, slot, lo, hi
 
         def fetch_meta(bidx):
+            # meta_block > 0: demand-gated row blocks for the brick-meta
+            # scan too (the resolve fetch is the #1 per-step cost —
+            # pallas10 attribution: +17 us/step per duplicate fetch)
             s, lo, hi = _scan_gather(
                 [mslot_t, mlo_t, mhi_t], bidx >> 7, bidx & 127,
-                meta.meta_rows)
+                meta.meta_rows, block=meta_block)
             return s, lo, hi
 
         def fetch_mip(idx):
@@ -1012,6 +1022,18 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     # atlas blocks and defeat the block-skip — pin them
                     tap = _w3(act, tap, (jnp.zeros(LANES, f32),) * 3)
                     d = density_scale * lookup_density_brick(tap)
+                    if "rfull" in probe_dup:
+                        # duplicate the full-lane resolve fetch (scan cost
+                        # attribution for the resolve_full path)
+                        ez = s["event"] >> 30   # 0, not provably (CSE)
+                        tap2 = (tap[0] + ez.astype(f32), tap[1], tap[2])
+                        d = d + f32(1e-30) * lookup_density_brick(tap2)
+                    if "rtric" in probe_dup:
+                        ezf = (s["event"] >> 30).astype(f32)
+                        tap3, _ = stochastic_tricubic(
+                            (pos[0] + ezf, pos[1], pos[2]), s["seed"],
+                            act)
+                        d = d + f32(1e-30) * tap3[0]
                 # --- emission (common.glsl:324-328, mirror of
                 # megakernel._resolve_tests's _add_emission call: draws
                 # AFTER the density fetch, BEFORE classification)
@@ -1199,6 +1221,10 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     wx, wy, wz, pdf_nee, ler, leg, leb = outs
                 else:
                     wx, wy, wz, pdf_nee, ler, leg, leb = fetch_pool(pidx)
+                    if "nfull" in probe_dup:
+                        ez = s["event"] >> 30   # 0; CSE-defeat
+                        dupf = fetch_pool(pidx + ez)
+                        wx = wx + f32(1e-30) * dupf[0]
                 if "nee" in probe_dup and compact:
                     ez = s["event"] >> 30   # 0, but not provably (CSE)
                     dup = cfetch(pool_t, meta.pool_rows, pidx + ez,
@@ -1336,6 +1362,13 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                         er, eg, eb = ergb
                     else:
                         er, eg, eb = fetch_env(eidx)
+                        if "efull" in probe_dup:
+                            # duplicate the full-lane env fetch (scan
+                            # cost attribution, escape_full path)
+                            ez = s["event"] >> 30   # 0; CSE-defeat
+                            o2 = fetch_env(eidx + ez)
+                            er = er + f32(1e-30) * (o2[0] + o2[1]
+                                                    + o2[2])
                     if "escape" in probe_dup and compact \
                             and not escape_full:
                         # duplicate one round-0 serve (the common case)
@@ -1521,6 +1554,10 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 has_work = cursor[0, 0] < n_items
                 need = ready & ((s["item"] >= 0) | has_work)
                 rank, _ = _prefix_ranks(need)
+                if "dqrank" in probe_dup:
+                    ez = s["event"] >> 30   # 0; CSE-defeat
+                    rank2, _ = _prefix_ranks(need ^ (ez > 0))
+                    rank = rank + (rank2 >> 20)   # rank2 < 1024 -> 0
                 serve = need & (rank < 128)
                 flush = serve & (s["item"] >= 0)
                 served = scatter_flush(s, flush, rank)
@@ -1555,10 +1592,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     i32).reshape(1, 1)
                 return s, cursor
 
-        def step(s, do_escape=True):
+        def step(s, do_escape=True, do_nee=True):
             s = phase_regen(s)
             s = phase_march(s)
-            s = phase_nee(s)
+            if do_nee:
+                s = phase_nee(s)
             s = phase_finish(s, do_escape=do_escape)
             return s
 
@@ -1579,7 +1617,9 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 for i in range(unroll):
                     do_esc = ((i + 1) % escape_every == 0) \
                         or i == unroll - 1
-                    s = step(s, do_escape=do_esc)
+                    do_nee = ((i + 1) % nee_every == 0) \
+                        or i == unroll - 1
+                    s = step(s, do_escape=do_esc, do_nee=do_nee)
                 if "carry8" in probe_dup:
                     for q in range(8):
                         s[f"dum{q}"] = s[f"dum{q}"] + 1.0
@@ -1609,7 +1649,9 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     # on the last so a drain can't stall parked escapes)
                     do_esc = ((i + 1) % escape_every == 0) \
                         or i == unroll - 1
-                    s = step(s, do_escape=do_esc)
+                    do_nee = ((i + 1) % nee_every == 0) \
+                        or i == unroll - 1
+                    s = step(s, do_escape=do_esc, do_nee=do_nee)
                 return (it + unroll,) + tuple(s[k] for k in keys)
 
             init = (jnp.zeros((1, 1), i32),) + tuple(s[k] for k in keys)
@@ -1629,7 +1671,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                      "queue_items", "interpret", "env_rgbe", "probe_dup",
                      "escape_rounds", "resolve_rounds", "resolve_full",
                      "escape_full", "nee_full", "sublanes", "tile_w",
-                     "scan_blocks"),
+                     "scan_blocks", "meta_block", "nee_every"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
@@ -1637,7 +1679,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        probe_dup=(), escape_rounds=4, resolve_rounds=2,
                        resolve_full=False, escape_full=False,
                        nee_full=False, sublanes=8, tile_w=0,
-                       scan_blocks=8, perm=None):
+                       scan_blocks=8, meta_block=0, nee_every=1,
+                       perm=None):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
@@ -1649,7 +1692,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                           resolve_full=resolve_full,
                           escape_full=escape_full, nee_full=nee_full,
                           sublanes=sublanes, tile_w=tile_w,
-                          scan_blocks=scan_blocks)
+                          scan_blocks=scan_blocks,
+                          meta_block=meta_block, nee_every=nee_every)
 
     img_rows = (queue_items // 128) if queue_items else sublanes
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -1737,7 +1781,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   return_iters=False, env_rgbe=True, probe_dup=(),
                   mip_override=None, escape_rounds=4, resolve_rounds=2,
                   resolve_full=False, escape_full=False, nee_full=False,
-                  sublanes=8, tile_w=0, scan_blocks=8):
+                  sublanes=8, tile_w=0, scan_blocks=8, meta_block=0,
+                  nee_every=1):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -1794,7 +1839,9 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         resolve_rounds=int(resolve_rounds),
         resolve_full=bool(resolve_full), escape_full=bool(escape_full),
         nee_full=bool(nee_full), sublanes=int(sublanes),
-        tile_w=tile_w, scan_blocks=int(scan_blocks), perm=perm)
+        tile_w=tile_w, scan_blocks=int(scan_blocks),
+        meta_block=int(meta_block), nee_every=int(nee_every),
+        perm=perm)
     if return_iters:
         return img, iters
     return img
