@@ -85,17 +85,21 @@ class Renderer:
         self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
             "pallas" if jax.default_backend() == "tpu" else "device"
         )
-        # pallas megakernel engine knobs (ops/pallas/kernel.py; measured
-        # optimum in probes/results/pallas7.jsonl)
         # kernel-engine knobs; defaults = the round-4 sweep optimum at
-        # 1024^2 (km4 te2 u2 ee1 + full-lane serving,
-        # probes/results/pallas9d/9e.jsonl): at queue saturation the
-        # per-128 compaction tax loses to the full 8-sublane scans
+        # 1024^2 (km4 te2 u2 + full-lane serving + tile_w super-blocks,
+        # probes/results/pallas9g/11.jsonl). escape_every=2 parks escape
+        # bursts every other step: the whole esc_do body (uv atan2/acos +
+        # env fetch + MIS) is the #1 per-step cost after the resolve
+        # fetch, and halving its cadence measured +39% (10.25 vs 7.37
+        # spp/s in-session, pallas11; repeat 10.01). nee_every stays 1
+        # pending a combined measurement (probe_pallas12).
         self.pallas_test_every = int(os.environ.get("VOLREN_PALLAS_TE", "2"))
         self.pallas_unroll = int(os.environ.get("VOLREN_PALLAS_UNROLL", "2"))
         self.pallas_k_march = int(os.environ.get("VOLREN_PALLAS_KM", "4"))
         self.pallas_escape_every = int(
-            os.environ.get("VOLREN_PALLAS_EE", "1"))
+            os.environ.get("VOLREN_PALLAS_EE", "2"))
+        self.pallas_nee_every = int(
+            os.environ.get("VOLREN_PALLAS_NEE_EVERY", "1"))
         self.pallas_resolve_full = os.environ.get(
             "VOLREN_PALLAS_RFULL", "1") == "1"
         self.pallas_escape_full = os.environ.get(
@@ -372,6 +376,7 @@ class Renderer:
             sublanes=self.pallas_sublanes,
             tile_w=tile_w,
             scan_blocks=self.pallas_scan_blocks,
+            nee_every=self.pallas_nee_every,
             mip_override=mip_override,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
