@@ -214,3 +214,27 @@ def test_emission_kernel_matches_chunked(random_grid16):
     assert np.isfinite(got).all()
     assert rmse < 1.5 * noise, (rmse, noise)
     assert mean_rel < 0.05, mean_rel
+
+
+def test_mxu_gather_bitexact(random_grid16):
+    """The one-hot MXU fetch engine is bitwise identical to the
+    dynamic_gather scans on every serving path: compacted (default),
+    full-lane, and the full-32-bit i32 payload split (atlas + RGBE env
+    words ride as two exact 16-bit f32 halves)."""
+    r = _tiny_renderer(random_grid16)
+    scene = r._scene_device()
+    from volren_tpu.ops.pallas import pack_scene
+    from volren_tpu.ops.pallas.kernel import render_strips
+    from volren_tpu.ops.pallas.pack import build_env_pool, build_params_rows
+
+    packed = pack_scene(scene)
+    pool = build_env_pool(scene, 123, 0)
+    pf, pi = build_params_rows(scene, r._trace_params(), 32, 32, 0)
+    for kw in (dict(queue_items=1024),
+               dict(queue_items=1024, resolve_full=True,
+                    escape_full=True, nee_full=True)):
+        a = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                     **kw))
+        b = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                     mxu_gather=True, **kw))
+        assert np.array_equal(a, b), kw

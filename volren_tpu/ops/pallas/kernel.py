@@ -255,10 +255,106 @@ def _xform_vec(m16, v):
 # ---------------------------------------------------------------------------
 # mask-reduce gather
 # ---------------------------------------------------------------------------
+#
+# Two interchangeable, bit-identical fetch engines:
+#
+# * dynamic_gather form (the round-3 original): per sublane row, one
+#   axis1 tpu.dynamic_gather shuffles the whole table block by that
+#   row's column indices (~1 cycle/row), then a masked row-reduce picks
+#   each lane's row. Cost ~1.25 cycles x rows x sublanes per table.
+# * one-hot MXU form (mxu_gather=True): T[r_l, c_l] = colsum_m
+#   (OHr^T @ T)[l, m] * OHc[l, m] — two matmuls, the one-hot builds are
+#   2 VPU compares; full-32-bit i32 payloads (packed atlas / RGBE
+#   words) ride as two 16-bit f32 halves recombined after the reduce.
+#   MEASURED NEGATIVE RESULT (probes/results/pallas13.jsonl): on real
+#   TPU this form is ~2.7x SLOWER than the dynamic_gather scan at the
+#   champion config (69.7 vs 26.2 us/step @1024^2) — Mosaic does not
+#   lower these one-hot matmuls anywhere near the systolic-array rate
+#   the cost model assumed — AND Mosaic's DEFAULT f32 dot precision is
+#   bf16, which truncates the 16-bit halves (mean 2.599 vs 3.631; the
+#   CPU interpreter, true f32, is bit-exact). Kept flag-gated with
+#   Precision.HIGHEST forced (correct everywhere, slower) as the
+#   documented dead end; the dynamic_gather scan is the fetch engine.
+#
+# Tagged tables (mxu mode): a plain f32 array fetches directly;
+# ("i24", farr) is an integer table < 2^24 pre-cast to f32 (result cast
+# back); ("i32", lo, hi) is a full i32 table pre-split into exact 16-bit
+# f32 halves.
+
+
+def _tab_dtype(t):
+    if isinstance(t, tuple):
+        return f32 if t[0] == "f32" else i32
+    return t.dtype
+
+
+def _tab_split(t):
+    """Materialized table -> tagged mxu form (split ONCE at kernel
+    start; per-fetch splitting would cost what the matmul saves)."""
+    if t.dtype == f32:
+        return t
+    return ("i32", (t & 0xFFFF).astype(f32),
+            ((t >> 16) & 0xFFFF).astype(f32))
+
+
+def _tab_cast_i24(t):
+    """Small-integer i32 table (< 2^24: slot ids) -> tagged f32 form."""
+    return ("i24", t.astype(f32)) if t.dtype != f32 else t
+
+
+def _onehot_fetch_row(tabs, r1, c1, b0, bn):
+    """MXU one-hot fetch: out_k[0,j] = tabs[k][r1[0,j], c1[0,j]] for
+    rows in [b0, b0+bn) (rows outside the block contribute 0 — the
+    block-skip contract). r1/c1 are (1,128); exact (one nonzero per
+    one-hot row/col)."""
+    iota_n = jax.lax.broadcasted_iota(i32, (bn, 128), 0) + b0
+    ohr = jnp.where(iota_n == jnp.broadcast_to(r1, (bn, 128)),
+                    f32(1.0), f32(0.0))
+    iota_m = jax.lax.broadcasted_iota(i32, (128, 128), 1)
+    ohc = jnp.where(iota_m == jnp.broadcast_to(c1.T, (128, 128)),
+                    f32(1.0), f32(0.0))
+    ones_m = jnp.ones((128, 1), f32)
+    outs = []
+    for t in tabs:
+        tag = None
+        parts = (t,)
+        if isinstance(t, tuple):
+            tag, parts = t[0], t[1:]
+        vals = []
+        for p in parts:
+            pblk = p if bn == p.shape[0] else \
+                jax.lax.slice_in_dim(p, b0, b0 + bn, axis=0)
+            # Precision.HIGHEST (fp32 contract): Mosaic's DEFAULT
+            # f32 dot is bf16-truncating (module comment; pallas13/14)
+            G = jax.lax.dot_general(ohr, pblk, (((0,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=f32)
+            v = jax.lax.dot_general(G * ohc, ones_m,
+                                    (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=f32)
+            vals.append(v.T)            # (1,128)
+        if tag == "i32":
+            outs.append((vals[1].astype(i32) << 16) | vals[0].astype(i32))
+        elif tag == "i24":
+            outs.append(vals[0].astype(i32))
+        else:
+            outs.append(vals[0])
+    return outs
+
 
 def _scan_gather_block(tabs, r, c, b0, bn):
     """One (bn,128) row-block pass of the full-lane gather: out_k[i,j] =
     tabs[k][r[i,j], c[i,j]] if r[i,j] in [b0, b0+bn) else 0."""
+    if tabs and isinstance(tabs[0], tuple):
+        # tagged tables: the one-hot MXU engine, one pass per sublane row
+        rows_out = [[] for _ in tabs]
+        for i in range(r.shape[0]):
+            vs = _onehot_fetch_row(tabs, r[i:i + 1, :], c[i:i + 1, :],
+                                   b0, bn)
+            for k, v in enumerate(vs):
+                rows_out[k].append(v)
+        return [jnp.concatenate(rs, axis=0) for rs in rows_out]
     iota_n = jax.lax.broadcasted_iota(i32, (bn, 128), 0) + b0
     ones = jnp.ones((1, bn), f32)
     out_rows = [[] for _ in tabs]
@@ -274,8 +370,13 @@ def _scan_gather_block(tabs, r, c, b0, bn):
                 # row-sum on the MXU: exactly one nonzero per column
                 # (the hit row) so the f32 matmul is exact
                 masked = jnp.where(hit, G, 0.0)
+                # Precision.HIGHEST = Mosaic contract_precision<fp32>
+                # (exact; the DEFAULT path contracts at bf16 and
+                # truncates the value operand — pallas14. Mosaic
+                # supports only DEFAULT|HIGHEST)
                 v = jax.lax.dot_general(
                     ones, masked, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST,
                     preferred_element_type=f32)
             else:
                 # i32 payloads (the packed atlas words) exceed f32's
@@ -304,7 +405,7 @@ def _scan_gather(tabs, r, c, rows, block=0):
     have summed exactly 0)."""
     if not block or rows <= block:
         return _scan_gather_block(tabs, r, c, 0, rows)
-    outs = tuple(jnp.zeros(r.shape, t.dtype) for t in tabs)
+    outs = tuple(jnp.zeros(r.shape, _tab_dtype(t)) for t in tabs)
     for b0 in range(0, rows, block):
         bn = min(block, rows - b0)
 
@@ -362,6 +463,8 @@ def _compact_rows(vals, rankc, served):
 def _scan_rows_block(tabs, r_c, c_c, b0, bn):
     """One (bn, 128)-block pass of the compacted-row fetch: out_k[0,j] =
     tabs[k][r_c[0,j], c_c[0,j]] if r_c[0,j] in [b0, b0+bn) else 0."""
+    if tabs and isinstance(tabs[0], tuple):
+        return _onehot_fetch_row(tabs, r_c, c_c, b0, bn)
     iota_n = jax.lax.broadcasted_iota(i32, (bn, 128), 0) + b0
     cb = jnp.broadcast_to(c_c, (bn, 128))
     rb = jnp.broadcast_to(r_c, (bn, 128))
@@ -375,7 +478,9 @@ def _scan_rows_block(tabs, r_c, c_c, b0, bn):
         if t.dtype == f32:
             # row-sum on the MXU: at most one hit row per column — exact
             masked = jnp.where(hit, G, 0.0)
+            # Precision.HIGHEST: fp32 contract (pallas14; Mosaic has no HIGH)
             v = jax.lax.dot_general(ones, masked, (((1,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
                                     preferred_element_type=f32)
         else:
             v = jnp.sum(jnp.where(hit, G, jnp.zeros((), t.dtype)),
@@ -398,7 +503,7 @@ def _scan_rows(tabs, r_c, c_c, rows, block=0):
     skipped block contributes exactly the 0 it would have summed."""
     if not block or rows <= block:
         return _scan_rows_block(tabs, r_c, c_c, 0, rows)
-    outs = tuple(jnp.zeros((1, 128), t.dtype) for t in tabs)
+    outs = tuple(jnp.zeros((1, 128), _tab_dtype(t)) for t in tabs)
     for b0 in range(0, rows, block):
         bn = min(block, rows - b0)
 
@@ -490,7 +595,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  env_rgbe=False, probe_dup=(), escape_rounds=4,
                  resolve_rounds=2, resolve_full=False, escape_full=False,
                  nee_full=False, sublanes=8, tile_w=0, scan_blocks=8,
-                 meta_block=0, nee_every=1):
+                 meta_block=0, nee_every=1, mxu_gather=False):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; sublanes*128 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -614,17 +719,34 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             py = pix // W
 
         # ---- tables, materialized ONCE as values (re-slicing refs
-        # per use re-loads them from VMEM: 10-100x slower, pallas5)
-        atlas_t = atlas_ref[:]
-        mslot_t = mslot_ref[:]
-        mlo_t = mlo_ref[:]
-        mhi_t = mhi_ref[:]
-        mip_t = mip_ref[:]
-        pool_t = [pwx[:], pwy[:], pwz[:], ppdf[:], pler[:], pleg[:],
-                  pleb[:]]
-        env_t = [ref[:] for ref in env_refs]
-        tf_t = [ref[:] for ref in tf_refs]     # r, g, b, a channels
-        emi_t = [ref[:] for ref in emi_refs]   # atlas, slot, lo, hi
+        # per use re-loads them from VMEM: 10-100x slower, pallas5).
+        # mxu_gather tags every table for the one-hot MXU fetch engine:
+        # full-32-bit payloads (packed atlas words, RGBE) split into
+        # exact 16-bit f32 halves ONCE here; small-int tables (slot ids
+        # < 2^24) ride as exact f32 casts.
+        if mxu_gather:
+            def m_f(v):
+                return ("f32", v)
+
+            def m_small(v):
+                return _tab_cast_i24(v)
+
+            m_full = _tab_split
+        else:
+            m_f = m_small = m_full = lambda v: v
+        atlas_t = m_full(atlas_ref[:])
+        mslot_t = m_small(mslot_ref[:])
+        mlo_t = m_f(mlo_ref[:])
+        mhi_t = m_f(mhi_ref[:])
+        mip_t = m_f(mip_ref[:])
+        pool_t = [m_f(ref[:]) for ref in
+                  (pwx, pwy, pwz, ppdf, pler, pleg, pleb)]
+        env_t = [(m_full if ref.dtype != f32 else m_f)(ref[:])
+                 for ref in env_refs]
+        tf_t = [m_f(ref[:]) for ref in tf_refs]   # r, g, b, a channels
+        emi_t = ([m_full(emi_refs[0][:]), m_small(emi_refs[1][:]),
+                  m_f(emi_refs[2][:]), m_f(emi_refs[3][:])]
+                 if emi_refs else [])              # atlas, slot, lo, hi
 
         def fetch_meta(bidx):
             # meta_block > 0: demand-gated row blocks for the brick-meta
@@ -1536,8 +1658,12 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 for ref, v_c in zip((or_ref, og_ref, ob_ref, oa_ref),
                                     comp[1:]):
                     vc = ohc * jnp.broadcast_to(v_c.T, (128, 128))
+                    # Precision.HIGHEST (fp32 contract): the DEFAULT
+                    # bf16 pass truncated the rgba sums (~0.3%) — the
+                    # strip-vs-queue bitwise gap of pallas14.jsonl
                     add = jax.lax.dot_general(
                         ohr, vc, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=f32)
                     ref[:] = ref[:] + add
                 return served
@@ -1671,7 +1797,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                      "queue_items", "interpret", "env_rgbe", "probe_dup",
                      "escape_rounds", "resolve_rounds", "resolve_full",
                      "escape_full", "nee_full", "sublanes", "tile_w",
-                     "scan_blocks", "meta_block", "nee_every"),
+                     "scan_blocks", "meta_block", "nee_every",
+                     "mxu_gather"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
@@ -1680,7 +1807,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        resolve_full=False, escape_full=False,
                        nee_full=False, sublanes=8, tile_w=0,
                        scan_blocks=8, meta_block=0, nee_every=1,
-                       perm=None):
+                       mxu_gather=False, perm=None):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
@@ -1693,7 +1820,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                           escape_full=escape_full, nee_full=nee_full,
                           sublanes=sublanes, tile_w=tile_w,
                           scan_blocks=scan_blocks,
-                          meta_block=meta_block, nee_every=nee_every)
+                          meta_block=meta_block, nee_every=nee_every,
+                          mxu_gather=mxu_gather)
 
     img_rows = (queue_items // 128) if queue_items else sublanes
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -1782,7 +1910,7 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   mip_override=None, escape_rounds=4, resolve_rounds=2,
                   resolve_full=False, escape_full=False, nee_full=False,
                   sublanes=8, tile_w=0, scan_blocks=8, meta_block=0,
-                  nee_every=1):
+                  nee_every=1, mxu_gather=False):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -1841,7 +1969,7 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         nee_full=bool(nee_full), sublanes=int(sublanes),
         tile_w=tile_w, scan_blocks=int(scan_blocks),
         meta_block=int(meta_block), nee_every=int(nee_every),
-        perm=perm)
+        mxu_gather=bool(mxu_gather), perm=perm)
     if return_iters:
         return img, iters
     return img

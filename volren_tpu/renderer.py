@@ -115,6 +115,10 @@ class Renderer:
                                                 "-1"))
         self.pallas_scan_blocks = int(
             os.environ.get("VOLREN_PALLAS_SCANBLOCKS", "8"))
+        # one-hot MXU table fetches in the kernel (bit-exact vs the
+        # dynamic_gather scans; see ops/pallas/kernel.py fetch engines)
+        self.pallas_mxu_gather = os.environ.get(
+            "VOLREN_PALLAS_MXU", "0") == "1"
         # queue-engine knobs (None = auto): lane-array size and samples per
         # work item. csize=None renders each pixel's spp on one lane
         # (bit-identical to the other engines); smaller csize bounds the
@@ -377,6 +381,7 @@ class Renderer:
             tile_w=tile_w,
             scan_blocks=self.pallas_scan_blocks,
             nee_every=self.pallas_nee_every,
+            mxu_gather=self.pallas_mxu_gather,
             mip_override=mip_override,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
