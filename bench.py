@@ -297,10 +297,14 @@ def main():
         done = 0
         rates = []
         t0 = time.time()
+        used = engine
         while done < spp:
             n = min(chunk, spp - done)
             t_c = time.time()
             r.trace(n)
+            # the engine that ACTUALLY ran (a VMEM-gate fallback must
+            # never masquerade as a pallas datapoint — round-4 verdict)
+            used = getattr(r, "last_engine", None) or engine
             # PULL a checksum (honest timing: the scalar depends on every
             # pixel, so the host wait covers the full render — but costs
             # 4 B through the ~4 MB/s tunnel instead of the 16 MB
@@ -312,7 +316,7 @@ def main():
             med = float(np.median(rates))
             spread = (max(rates) / max(min(rates), 1e-9)) if rates else 0.0
             if record:
-                _record(res, done, done / med, compile_s, engine,
+                _record(res, done, done / med, compile_s, used,
                         {"pulls": len(rates),
                          "spread": round(float(spread), 2)})
             if time.time() > deadline:
@@ -324,14 +328,14 @@ def main():
         pull_s = time.time() - t_pull
         med = float(np.median(rates))
         print(
-            f"# stage {res}^2 [{engine}]: {done} spp in {dt:.2f}s = "
+            f"# stage {res}^2 [{used}]: {done} spp in {dt:.2f}s = "
             f"{done/dt:.2f} spp/s (median chunk {med:.2f}, "
             f"{len(rates)} pulls, compile+warmup {compile_s:.1f}s, "
             f"fbo pull {pull_s:.2f}s)",
             file=sys.stderr,
             flush=True,
         )
-        return med, rates, done
+        return med, rates, done, used
 
     for res, spp, engine in STAGES:
         if time.time() > deadline - 90:
@@ -346,7 +350,7 @@ def main():
             continue
         if out is None or out[0] is None:
             return
-        med, rates, done = out
+        med, rates, done, used = out
         # degraded-mode detector: the runtime latches some programs at
         # ~15x cost (floor_chain.jsonl); a >2x chunk-rate spread at the
         # headline stage earns ONE re-run, keep the better median
@@ -377,13 +381,14 @@ def main():
                             record=False)
             if out is not None and out[0] is not None:
                 cloud_rate = round(out[0], 3)
+                cloud_engine = out[3]
         except Exception as e:  # the cloud stage must never sink the bench
             print(f"# cloud stage failed: {type(e).__name__}: {e}",
                   file=sys.stderr, flush=True)
     extra = {"total_wall_s": round(time.time() - t_start, 1)}
     if cloud_rate is not None:
         extra["cloud_spp_per_s"] = cloud_rate
-        extra["cloud_stage"] = CLOUD_STAGE
+        extra["cloud_stage"] = f"{cres}:{cspp}:{cloud_engine}"
     _emit(extra)
 
 

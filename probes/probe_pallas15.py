@@ -1,15 +1,17 @@
-"""Round-4: Precision.HIGH exactness fix — re-check + cost.
+"""Round-4: Precision.HIGHEST exactness fix — re-check + cost.
 
 pallas14 proved the queue engine's scatter_flush outer-product ran at
 Mosaic's default bf16 dot precision (strip-vs-queue max_abs 0.011 on
-TPU, bitwise-equal on the interpreter). Precision.HIGH (bf16x3) is
-exact when one operand is one-hot (the dropped lo*lo term is 0) at 3
-passes. This probe verifies the fix ON TPU and prices it:
+TPU, bitwise-equal on the interpreter). The shipped fix is
+Precision.HIGHEST — Mosaic's contract_precision<fp32>, a true f32
+contract and therefore exact (Mosaic lowers only DEFAULT|HIGHEST; the
+bf16x3 HIGH pass documented in earlier drafts does not exist there).
+This probe verifies the fix ON TPU and prices it:
 
 1. strip vs queue(+tile) bitwise at 256^2/4spp -> must now be TRUE.
 2. fresh fixed-seed dump for the interpreter cross-check
    (probe_pallas14_cpu.py with PALLAS15=1).
-3. champion ee2 rate at 1024^2/16spp (cost of HIGH in the fetch
+3. champion ee2 rate at 1024^2/16spp (cost of HIGHEST in the fetch
    row-sums + flush; pallas13 same-session baseline was 9.58/9.35).
 """
 

@@ -217,10 +217,15 @@ def test_emission_kernel_matches_chunked(random_grid16):
 
 
 def test_mxu_gather_bitexact(random_grid16):
-    """The one-hot MXU fetch engine is bitwise identical to the
-    dynamic_gather scans on every serving path: compacted (default),
-    full-lane, and the full-32-bit i32 payload split (atlas + RGBE env
-    words ride as two exact 16-bit f32 halves)."""
+    """The one-hot MXU fetch engine matches the dynamic_gather scans
+    bitwise on every serving path: compacted (default), full-lane, and
+    the full-32-bit i32 payload split (atlas + RGBE env words ride as
+    two exact 16-bit f32 halves).
+
+    CPU-interpreter only, so this certifies INDEXING, not TPU numerics:
+    the interpreter runs true-f32 dots and cannot detect Mosaic's bf16
+    dot truncation (pallas13/14). The on-TPU numeric audit is
+    probes/probe_pallas13/15.py (probes/results/pallas13/15.jsonl)."""
     r = _tiny_renderer(random_grid16)
     scene = r._scene_device()
     from volren_tpu.ops.pallas import pack_scene
@@ -238,3 +243,143 @@ def test_mxu_gather_bitexact(random_grid16):
         b = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
                                      mxu_gather=True, **kw))
         assert np.array_equal(a, b), kw
+
+
+def test_kernel_plan_modes(random_grid16):
+    """kernel_plan: small scenes run all-VMEM; scenes whose atlas
+    exceeds the VMEM gate (but whose meta/mips/env fit) run in hbm
+    mode; monster meta tables are rejected (round-5 scale axis,
+    /root/reference/README.md:6-8)."""
+    import jax.numpy as jnp
+
+    r = _tiny_renderer(random_grid16)
+    from volren_tpu.ops.pallas import kernel_plan
+
+    scene, cfg = r._scene_device(), r._config()
+    assert kernel_plan(scene, cfg) == "vmem"
+    # inflate the atlas beyond the 12288-slot VMEM gate (kernel_plan
+    # reads shapes only, so ShapeDtypeStructs stand in for arrays)
+    big = scene.density._replace(
+        atlas=jax.ShapeDtypeStruct((60000, 512), jnp.uint8))
+    assert kernel_plan(scene._replace(density=big), cfg) == "hbm"
+    # monster brick count: meta tables alone exceed the VMEM budget
+    huge = big._replace(brick_meta=jax.ShapeDtypeStruct(
+        (128, 1024, 1024, 3), jnp.float32))
+    assert kernel_plan(scene._replace(density=huge), cfg) is None
+
+
+def test_hbm_atlas_bitwise_matches_vmem(random_grid16):
+    """The HBM-atlas DMA row-gather fetch engine is bitwise identical
+    to the VMEM compacted scan: same serve schedule, same rng streams,
+    only the fetch transport differs (interpret mode; the on-TPU
+    bitwise smoke is probes/probe_hbm.py — Mosaic lowering is NOT
+    certified here, round-4 lesson)."""
+    r = _tiny_renderer(random_grid16)
+    scene = r._scene_device()
+    from volren_tpu.ops.pallas import pack_scene
+    from volren_tpu.ops.pallas.kernel import render_strips
+    from volren_tpu.ops.pallas.pack import build_env_pool, build_params_rows
+
+    packed = pack_scene(scene)
+    pool = build_env_pool(scene, 123, 0)
+    pf, pi = build_params_rows(scene, r._trace_params(), 32, 32, 0)
+    for kw in (dict(queue_items=1024),
+               dict(queue_items=1024, resolve_rounds=3, sublanes=16)):
+        a = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                     resolve_full=False, **kw))
+        b = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                     resolve_full=False, hbm_atlas=True,
+                                     **kw))
+        assert np.array_equal(a, b), kw
+
+
+def test_hbm_atlas_tf_bitwise(random_grid16):
+    """TF kernel variant through the HBM atlas (the trilinear
+    classification's 8-corner fetches ride the DMA row-gather) ==
+    the VMEM TF kernel, bitwise (interpret)."""
+    from volren_tpu.scene.transferfunc import TransferFunction
+
+    r = _tiny_renderer(random_grid16)
+    r.set_transferfunc(TransferFunction(
+        [(0.9, 0.2, 0.1, 0.0), (0.2, 0.9, 0.6, 0.7), (1.0, 1.0, 1.0, 1.0)]))
+    scene = r._scene_device()
+    from volren_tpu.ops.pallas import pack_scene
+    from volren_tpu.ops.pallas.kernel import render_strips
+    from volren_tpu.ops.pallas.pack import build_env_pool, build_params_rows
+    from volren_tpu.ops.transfer import tf_alpha_majorant
+
+    params = r._trace_params()
+    packed = pack_scene(scene, use_tf=True)
+    pool = build_env_pool(scene, 123, 0)
+    pf, pi = build_params_rows(scene, params, 32, 32, 0)
+    raw = packed.mip_maj
+    d_norm = params.density_scale * raw * params.inv_majorant
+    mip_tf = params.majorant * tf_alpha_majorant(
+        scene.tf, d_norm.reshape(-1), onehot=False).reshape(raw.shape)
+    a = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                 queue_items=1024, mip_override=mip_tf))
+    b = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                 queue_items=1024, mip_override=mip_tf,
+                                 hbm_atlas=True))
+    assert np.array_equal(a, b)
+
+
+def test_mip_u8_quantize_up(random_grid16):
+    """build_mip_u8 decode DOMINATES the true majorant at every pyramid
+    entry (the null-collision unbiasedness contract,
+    common.glsl:399-501) and stays within one quantization step."""
+    r = _tiny_renderer(random_grid16)
+    scene = r._scene_device()
+    from volren_tpu.ops.pallas import pack_scene
+    from volren_tpu.ops.pallas.pack import _mip_level_slices, build_mip_u8
+
+    packed = pack_scene(scene)
+    words, lo4, sc4 = build_mip_u8(packed.mip_maj, packed.meta)
+    w = np.asarray(words).reshape(-1)
+    q = np.stack([(w >> (8 * b)) & 255 for b in range(4)],
+                 axis=1).reshape(-1)
+    flat = np.asarray(packed.mip_maj).reshape(-1)
+    lo4, sc4 = np.asarray(lo4), np.asarray(sc4)
+    for m, (off, n) in enumerate(_mip_level_slices(packed.meta)):
+        true = flat[off:off + n]
+        dec = lo4[m] + q[off:off + n].astype(np.float32) * sc4[m]
+        assert (dec >= true - 1e-7 * np.abs(true)).all(), m
+        assert (dec - true <= 2.0 * max(sc4[m], 1e-12) + 1e-6).all(), m
+    # exact-zero majorants must stay exactly zero when the level's
+    # minimum is zero (empty-space skipping intact)
+    lev0 = flat[:_mip_level_slices(packed.meta)[0][1]]
+    if (lev0 == 0).any() and lo4[0] == 0.0:
+        dec0 = lo4[0] + q[:lev0.shape[0]][lev0 == 0] * sc4[0]
+        assert (dec0 == 0.0).all()
+
+
+def test_mip_u8_kernel_statistical(random_grid16):
+    """The u8-mip kernel's image sits within the engine's own sample
+    noise of the f32-mip kernel (different majorants -> different
+    collision schedules -> different but equally unbiased samples)."""
+    r = _tiny_renderer(random_grid16)
+    SPP = 8
+    r.step_engine = "pallas"
+    r.pallas_mip_u8 = "0"
+    r.trace(SPP)
+    f32_img = np.asarray(r._fb)
+
+    r2 = _tiny_renderer(random_grid16)
+    r2.step_engine = "pallas"
+    r2.pallas_mip_u8 = "1"
+    r2.trace(SPP)
+    u8_img = np.asarray(r2._fb)
+
+    # disjoint-sample noise of the same engine as the yardstick
+    r3 = _tiny_renderer(random_grid16, seed=321)
+    r3.step_engine = "pallas"
+    r3.pallas_mip_u8 = "0"
+    r3.trace(SPP)
+    noise = np.sqrt(((np.asarray(r3._fb) - f32_img) ** 2).mean())
+
+    assert np.isfinite(u8_img).all()
+    rmse = np.sqrt(((u8_img - f32_img) ** 2).mean())
+    assert rmse < 1.5 * max(noise, 1e-6), (rmse, noise)
+    mean_rel = abs(u8_img[..., :3].mean() - f32_img[..., :3].mean()) / max(
+        f32_img[..., :3].mean(), 1e-9)
+    assert mean_rel < 0.05, mean_rel

@@ -9,5 +9,5 @@ runs its entire march loop as one runtime op, at ~0.2 us/iteration
 (pallas3/pallas4.jsonl). See ops/pallas/kernel.py for the architecture.
 """
 
-from .pack import pack_scene, supports_scene  # noqa: F401
+from .pack import kernel_plan, pack_scene, supports_scene  # noqa: F401
 from .kernel import render_strips  # noqa: F401

@@ -49,9 +49,10 @@ from .pack import (
     PF_ALBEDO, PF_BB_MAX, PF_BB_MIN, PF_CAM_POS, PF_CAM_XFORM,
     PF_DENSITY_SCALE, PF_EMI_NORM, PF_EMI_SCALE, PF_EMI_X, PF_ENV_INV,
     PF_ENV_STRENGTH, PF_ENV_XFORM, PF_IMP_AVG, PF_INV_MAJORANT,
-    PF_INV_XFORM, PF_MAJORANT, PF_PHASE_G, PF_SHOW_ENV, PF_TF_LEFT,
-    PF_TF_WIDTH, PF_ZCAM, PI_BOUNCES, PI_HEIGHT, PI_PIX0, PI_SEED,
-    PI_SPP_BASE, PI_WIDTH, POOL_N, PackedScene,
+    PF_INV_XFORM, PF_MAJORANT, PF_MIP_LO, PF_MIP_SCALE, PF_PHASE_G,
+    PF_SHOW_ENV, PF_TF_LEFT, PF_TF_WIDTH, PF_ZCAM, PI_BOUNCES,
+    PI_HEIGHT, PI_PIX0, PI_SEED, PI_SPP_BASE, PI_WIDTH, POOL_N,
+    PackedScene,
 )
 
 f32 = jnp.float32
@@ -346,6 +347,11 @@ def _onehot_fetch_row(tabs, r1, c1, b0, bn):
 def _scan_gather_block(tabs, r, c, b0, bn):
     """One (bn,128) row-block pass of the full-lane gather: out_k[i,j] =
     tabs[k][r[i,j], c[i,j]] if r[i,j] in [b0, b0+bn) else 0."""
+    # engine dispatch keys on tabs[0]; mixed tagged/untagged lists would
+    # silently take the scan path and fail at trace time on the tuples
+    assert all(isinstance(t, tuple) for t in tabs) \
+        or not any(isinstance(t, tuple) for t in tabs), \
+        "tables must be uniformly tagged (mxu) or untagged (scan)"
     if tabs and isinstance(tabs[0], tuple):
         # tagged tables: the one-hot MXU engine, one pass per sublane row
         rows_out = [[] for _ in tabs]
@@ -463,6 +469,9 @@ def _compact_rows(vals, rankc, served):
 def _scan_rows_block(tabs, r_c, c_c, b0, bn):
     """One (bn, 128)-block pass of the compacted-row fetch: out_k[0,j] =
     tabs[k][r_c[0,j], c_c[0,j]] if r_c[0,j] in [b0, b0+bn) else 0."""
+    assert all(isinstance(t, tuple) for t in tabs) \
+        or not any(isinstance(t, tuple) for t in tabs), \
+        "tables must be uniformly tagged (mxu) or untagged (scan)"
     if tabs and isinstance(tabs[0], tuple):
         return _onehot_fetch_row(tabs, r_c, c_c, b0, bn)
     iota_n = jax.lax.broadcasted_iota(i32, (bn, 128), 0) + b0
@@ -595,7 +604,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  env_rgbe=False, probe_dup=(), escape_rounds=4,
                  resolve_rounds=2, resolve_full=False, escape_full=False,
                  nee_full=False, sublanes=8, tile_w=0, scan_blocks=8,
-                 meta_block=0, nee_every=1, mxu_gather=False):
+                 meta_block=0, nee_every=1, mxu_gather=False,
+                 mip_u8=False, hbm_atlas=False):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; sublanes*128 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -636,6 +646,12 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         # overflow lanes with a wrong density. TF scenes take the
         # compact NEE path (correctness, not a preference).
         nee_full = False
+    if hbm_atlas and (not compact or resolve_full or mxu_gather):
+        # the HBM atlas serves ONLY through the compacted DMA row-gather
+        # (a full-lane serve would need sublanes*128 DMAs per step)
+        raise NotImplementedError(
+            "hbm_atlas requires compact=True, resolve_full=False and "
+            "the dynamic_gather fetch engine")
 
     def kernel(*refs):
         # widen the live lane block beyond the native (8,128) f32 tile:
@@ -657,6 +673,11 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         tf_refs = take(4) if use_tf else []
         emi_refs = take(4) if has_emi else []
         or_ref, og_ref, ob_ref, oa_ref, oit_ref = take(5)
+        if hbm_atlas:
+            # DMA row-gather scratch (see _render_strips_jit): landing
+            # buffer, index staging row, SMEM index row, two DMA sems
+            (dma_land, dma_stage, dma_smem, dma_sem_i,
+             dma_sem_r) = take(5)
         assert not refs
         # ---- scalars
         def pf(k, n=1):
@@ -734,11 +755,18 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             m_full = _tab_split
         else:
             m_f = m_small = m_full = lambda v: v
-        atlas_t = m_full(atlas_ref[:])
+        # hbm_atlas: the atlas ref stays an HBM (ANY-space) ref — NEVER
+        # materialized; resolve serves DMA demanded 512 B brick rows
+        atlas_t = None if hbm_atlas else m_full(atlas_ref[:])
         mslot_t = m_small(mslot_ref[:])
         mlo_t = m_f(mlo_ref[:])
         mhi_t = m_f(mhi_ref[:])
-        mip_t = m_f(mip_ref[:])
+        if mip_u8:
+            if mxu_gather:
+                raise NotImplementedError("mip_u8 + mxu_gather")
+            mip_t = mip_ref[:]          # (rows,128) i32, 4 u8 per word
+        else:
+            mip_t = m_f(mip_ref[:])
         pool_t = [m_f(ref[:]) for ref in
                   (pwx, pwy, pwz, ppdf, pler, pleg, pleb)]
         env_t = [(m_full if ref.dtype != f32 else m_f)(ref[:])
@@ -757,9 +785,27 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 meta.meta_rows, block=meta_block)
             return s, lo, hi
 
-        def fetch_mip(idx):
+        def fetch_mip(idx, mip_i=None):
+            if mip_u8:
+                # u8-quantized majorant pyramid (pack.build_mip_u8):
+                # 4x fewer rows than f32, per-level affine dequant with
+                # quantize-UP encoding (decode >= true majorant — the
+                # null-collision contract holds, common.glsl:399-501).
+                # density_scale / TF transform are baked at pack time.
+                word = idx >> 2
+                rows = int(mip_t.shape[0])
+                (v32,) = _scan_gather([mip_t], word >> 7, word & 127,
+                                      rows, block=mip_block)
+                q = ((v32 >> ((idx & 3) * 8)) & 255).astype(f32)
+                lo = jnp.zeros(LANES, f32)
+                sc = jnp.zeros(LANES, f32)
+                for m in range(4):
+                    sel = mip_i == m
+                    lo = jnp.where(sel, pf(PF_MIP_LO + m), lo)
+                    sc = jnp.where(sel, pf(PF_MIP_SCALE + m), sc)
+                return lo + q * sc
             (v,) = _scan_gather([mip_t], idx >> 7, idx & 127,
-                                meta.mip_rows)
+                                meta.mip_rows, block=mip_block)
             return v
 
         def fetch_atlas(slot, voff):
@@ -783,6 +829,50 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             return _compact_gather(tabs, idx, rows, None, rank=rank,
                                    served=served, block=block)[0]
 
+        def dma_atlas_rows(slot_c, n_served):
+            """HBM-atlas fetch engine: land brick row slot_c[0,i] of the
+            HBM atlas in dma_land[i] for i < n_served via one 512 B DMA
+            per compacted rank (the TPU answer to texelFetch on an
+            arbitrary-size atlas texture, renderer.cpp:159-225 /
+            common.glsl:268-275). Scalarization: the (1,128) index row
+            DMAs VMEM->SMEM once, then each scalar read feeds a
+            dynamic-slice HBM->VMEM row copy; all copies share one sem
+            and drain after issue (latency overlaps across rows).
+            Returns the (128,128) landing VALUE; rows >= n_served hold
+            stale data and MUST be masked by the caller."""
+            dma_stage[:] = slot_c
+            cp = pltpu.make_async_copy(dma_stage, dma_smem, dma_sem_i)
+            cp.start()
+            cp.wait()
+
+            def issue(i, c):
+                row = dma_smem[0, i]
+                pltpu.make_async_copy(
+                    atlas_ref.at[pl.ds(row, 1), :],
+                    dma_land.at[pl.ds(i, 1), :], dma_sem_r).start()
+                return c
+
+            lax.fori_loop(0, n_served, issue, 0)
+
+            def drain(i, c):
+                # wait() only consumes the descriptor's byte count —
+                # identical for every row copy, so a fixed slice works
+                pltpu.make_async_copy(
+                    atlas_ref.at[pl.ds(0, 1), :],
+                    dma_land.at[pl.ds(0, 1), :], dma_sem_r).wait()
+                return c
+
+            lax.fori_loop(0, n_served, drain, 0)
+            return dma_land[:]
+
+        def hbm_atlas_fetch(slot_c, word_c, n_served):
+            """out[0,j] = atlas[slot_c[0,j], word_c[0,j]] for the first
+            n_served compacted ranks (others: garbage, caller-masked)."""
+            landv = dma_atlas_rows(slot_c, n_served)
+            lane = jax.lax.broadcasted_iota(i32, (1, 128), 1)
+            (g32_c,) = _scan_rows_block([landv], lane, word_c, 0, 128)
+            return g32_c
+
         # block-skip sizes (static): scans over tall tables run in
         # lax.cond-skipped row blocks (scan_blocks of them — conds are
         # cheap but bloat Mosaic compile). Short tables scan in one pass.
@@ -794,6 +884,17 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
         env_block = _blk(meta.env_rows)
         atlas_block = _blk(meta.n_slots)
+        # the mip scan is FULL-LANE (every marching lane, k_march x per
+        # step) — block-skip earlier than the compacted-scan threshold
+        # so big-volume pyramids don't cost rows x sublanes every substep
+        def _blk_full(rows):
+            if rows <= 32:
+                return 0
+            per = -(-rows // scan_blocks)
+            return -(-per // 8) * 8
+
+        mip_block = _blk_full(int((mip_t if not isinstance(mip_t, tuple)
+                                   else mip_t[1]).shape[0]))
 
 
         # ---- density machinery (ops/grid.py ports)
@@ -827,13 +928,14 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 bzm = jnp.clip(iz >> (3 + m), 0, mz - 1)
                 idx_m = mip_offsets[m] + (bzm * my + bym) * mx + bxm
                 idx = jnp.where(mip_i == m, idx_m, idx)
-            if use_tf:
+            if use_tf or mip_u8:
                 # the TF majorant transform (majorant * tf_alpha(maj *
                 # inv_majorant), common.glsl:484) depends only on the mip
                 # CELL VALUE, so it is pre-baked into the table per trace
-                # call (renderer._render_pallas) — zero per-step cost
-                return fetch_mip(idx)
-            return density_scale * fetch_mip(idx)
+                # call (renderer._render_pallas) — zero per-step cost.
+                # mip_u8 tables bake density_scale the same way.
+                return fetch_mip(idx, mip_i)
+            return density_scale * fetch_mip(idx, mip_i)
 
         def stochastic_tricubic(pos, seed, active):
             """ops/grid.stochastic_tricubic_filter, SoA."""
@@ -909,11 +1011,17 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     bidx_c, voff_c = brick_index(tap_c)
                     slot_c, lo_c, hi_c = _scan_rows(
                         [mslot_t, mlo_t, mhi_t], bidx_c >> 7,
-                        bidx_c & 127, meta.meta_rows)
+                        bidx_c & 127, meta.meta_rows,
+                        block=meta_block)
                     slot_c = jnp.clip(slot_c, 0, meta.n_slots - 1)
-                    (g32_c,) = _scan_rows(
-                        [atlas_t], slot_c, voff_c >> 2, meta.n_slots,
-                        block=atlas_block)
+                    if hbm_atlas:
+                        g32_c = hbm_atlas_fetch(
+                            slot_c, voff_c >> 2,
+                            jnp.clip(tot - 128 * rnd, 0, 128))
+                    else:
+                        (g32_c,) = _scan_rows(
+                            [atlas_t], slot_c, voff_c >> 2, meta.n_slots,
+                            block=atlas_block)
                     shift_c = (voff_c & 3) * 8
                     unorm_c = ((g32_c >> shift_c) & 255).astype(f32) \
                         * f32(1.0 / 255.0)
@@ -1117,11 +1225,17 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                         voff_c = key_c & 511
                         slot_c, lo_c, hi_c = _scan_rows(
                             [mslot_t, mlo_t, mhi_t], bidx_c >> 7,
-                            bidx_c & 127, meta.meta_rows)
+                            bidx_c & 127, meta.meta_rows,
+                            block=meta_block)
                         slot_c = jnp.clip(slot_c, 0, meta.n_slots - 1)
-                        (g32_c,) = _scan_rows(
-                            [atlas_t], slot_c, voff_c >> 2, meta.n_slots,
-                            block=atlas_block)
+                        if hbm_atlas:
+                            g32_c = hbm_atlas_fetch(
+                                slot_c, voff_c >> 2,
+                                jnp.clip(tot_test - 128 * rnd, 0, 128))
+                        else:
+                            (g32_c,) = _scan_rows(
+                                [atlas_t], slot_c, voff_c >> 2,
+                                meta.n_slots, block=atlas_block)
                         shift_c = (voff_c & 3) * 8
                         unorm_c = ((g32_c >> shift_c) & 255).astype(f32) \
                             * f32(1.0 / 255.0)
@@ -1798,7 +1912,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                      "escape_rounds", "resolve_rounds", "resolve_full",
                      "escape_full", "nee_full", "sublanes", "tile_w",
                      "scan_blocks", "meta_block", "nee_every",
-                     "mxu_gather"),
+                     "mxu_gather", "mip_u8", "hbm_atlas"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
@@ -1807,7 +1921,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        resolve_full=False, escape_full=False,
                        nee_full=False, sublanes=8, tile_w=0,
                        scan_blocks=8, meta_block=0, nee_every=1,
-                       mxu_gather=False, perm=None):
+                       mxu_gather=False, mip_u8=False, hbm_atlas=False,
+                       perm=None):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
@@ -1821,7 +1936,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                           sublanes=sublanes, tile_w=tile_w,
                           scan_blocks=scan_blocks,
                           meta_block=meta_block, nee_every=nee_every,
-                          mxu_gather=mxu_gather)
+                          mxu_gather=mxu_gather, mip_u8=mip_u8,
+                          hbm_atlas=hbm_atlas)
 
     img_rows = (queue_items // 128) if queue_items else sublanes
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -1854,6 +1970,18 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
     )
 
     kwargs = {}
+    if hbm_atlas:
+        # the atlas never enters VMEM whole: it stays an ANY-space
+        # (HBM) ref; resolve serves DMA demanded rows (kernel
+        # dma_atlas_rows) into the landing scratch
+        in_specs[2] = pl.BlockSpec(memory_space=pl.ANY)
+        kwargs["scratch_shapes"] = [
+            pltpu.VMEM((128, 128), i32),    # dma_land
+            pltpu.VMEM((1, 128), i32),      # dma_stage
+            pltpu.SMEM((1, 128), i32),      # dma_smem
+            pltpu.SemaphoreType.DMA(()),    # dma_sem_i
+            pltpu.SemaphoreType.DMA(()),    # dma_sem_r
+        ]
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024)
@@ -1910,7 +2038,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   mip_override=None, escape_rounds=4, resolve_rounds=2,
                   resolve_full=False, escape_full=False, nee_full=False,
                   sublanes=8, tile_w=0, scan_blocks=8, meta_block=0,
-                  nee_every=1, mxu_gather=False):
+                  nee_every=1, mxu_gather=False, mip_u8=False,
+                  hbm_atlas=False):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -1958,6 +2087,10 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         raise ValueError(
             "TF scenes need the pre-baked TF majorant table "
             "(mip_override; see renderer._render_pallas)")
+    if mip_u8 and tabs["mip_maj"].dtype != jnp.int32:
+        raise ValueError(
+            "mip_u8 needs the u8-packed majorant table as mip_override "
+            "(pack.build_mip_u8 words + the PF_MIP_LO/SCALE pf rows)")
     img, iters = _render_strips_jit(
         tabs, pool, pf, pi, packed.meta, int(width), grid_n,
         int(spp), int(k_march), int(test_every), int(unroll),
@@ -1969,7 +2102,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         nee_full=bool(nee_full), sublanes=int(sublanes),
         tile_w=tile_w, scan_blocks=int(scan_blocks),
         meta_block=int(meta_block), nee_every=int(nee_every),
-        mxu_gather=bool(mxu_gather), perm=perm)
+        mxu_gather=bool(mxu_gather), mip_u8=bool(mip_u8),
+        hbm_atlas=bool(hbm_atlas), perm=perm)
     if return_iters:
         return img, iters
     return img

@@ -58,6 +58,8 @@ PF_TF_WIDTH = 64
 PF_EMI_SCALE = 65     # emission_scale (common.glsl:324-328)
 PF_EMI_NORM = 66      # 1 / emission majorant
 PF_EMI_X = 67         # 16 row-major (4,4): density-index -> emission-index
+PF_MIP_LO = 83        # 4 per-level u8-mip dequant offsets (build_mip_u8)
+PF_MIP_SCALE = 87     # 4 per-level u8-mip dequant scales
 
 # pi (1, 16) i32 slot map
 PI_WIDTH = 0
@@ -158,20 +160,62 @@ def _pad_rows(flat, fill=0):
     return flat.reshape(rows, 128)
 
 
-def supports_scene(scene, cfg) -> bool:
-    """Kernel scope: brick density grid (+ optional TF LUT <= 2048 bins,
-    + optional emission brick grid) with atlases that fit VMEM next to
-    the working set. The one hard gate left is total atlas size
-    (round-3 verdict #2: TF/emission are now in-kernel)."""
-    rows = int(scene.density.atlas.shape[0])
+VMEM_ATLAS_SLOTS = 12288       # 6 MB packed: all-VMEM kernel's atlas gate
+HBM_RESIDENT_BYTES = 8 << 20   # non-atlas tables must fit VMEM in hbm mode
+
+
+def kernel_plan(scene, cfg):
+    """How the Pallas kernel can run this scene:
+
+    * ``"vmem"`` — every table VMEM-resident (atlases <= 12288 slots);
+      the round-3/4 kernel.
+    * ``"hbm"``  — the density atlas stays in HBM and resolve serves
+      fetch demanded brick rows by per-round DMA (kernel._dma_atlas
+      machinery, round-5); everything else (brick meta, majorant mips,
+      env, NEE pool, TF LUT, emission tables) must still fit VMEM.
+      This removes the reference's only scale limit analogue: GPU
+      memory (/root/reference/README.md:6-8, renderer.cpp:159-225).
+    * ``None`` — not runnable by the kernel (fallback engines apply).
+    """
+    d_rows = int(scene.density.atlas.shape[0])
+    e_rows = 0
     if cfg.has_emission and scene.emission is not None:
-        rows += int(scene.emission.atlas.shape[0])
+        e_rows = int(scene.emission.atlas.shape[0])
+    tf_bins = 0
     if cfg.use_tf:
-        if scene.tf is None or int(scene.tf.lut.shape[0]) > 2048:
-            return False
-    if rows > 12288:  # 6 MB packed
-        return False
-    return True
+        if scene.tf is None:
+            return None
+        tf_bins = int(scene.tf.lut.shape[0])
+        if tf_bins > 2048:
+            return None
+    if d_rows + e_rows <= VMEM_ATLAS_SLOTS:
+        return "vmem"
+    # hbm mode: density atlas unlimited; everything else VMEM-resident
+    def brick_rows(g):
+        bx, by, bz = g.n_bricks
+        return -(-bx * by * bz // 128)
+    g = scene.density
+    resident = brick_rows(g) * 512 * 3               # slot/lo/hi
+    mip_n = sum(int(z * y * x) for z, y, x in g.mip_dims)
+    resident += -(-mip_n // 128) * 512               # f32 mips (worst case)
+    e = scene.env.envmap
+    resident += -(-int(e.shape[0] * e.shape[1]) // 128) * 512  # rgbe
+    resident += POOL_N * 4 * 7                       # NEE pool
+    resident += -(-tf_bins // 128) * 512 * 4
+    if e_rows:
+        if e_rows > VMEM_ATLAS_SLOTS:
+            return None                  # emission atlas still VMEM-only
+        ge = scene.emission
+        resident += e_rows * 512 + brick_rows(ge) * 512 * 3
+    if resident <= HBM_RESIDENT_BYTES:
+        return "hbm"
+    return None
+
+
+def supports_scene(scene, cfg) -> bool:
+    """True when the Pallas kernel can run the scene in ANY mode (see
+    kernel_plan)."""
+    return kernel_plan(scene, cfg) is not None
 
 
 def _pack_brick_tables(g):
@@ -261,6 +305,64 @@ def pack_scene(scene, use_tf=None, use_emission=None) -> PackedScene:
                        emi_atlas_p, emi_slot, emi_lo, emi_hi, meta)
 
 
+def _mip_level_slices(meta):
+    """Per-level (offset, count) of the flat majorant pyramid."""
+    out = []
+    for m in range(4):
+        z, y, x = meta.mip_dims[m]
+        out.append((int(meta.mip_offsets[m]), int(z * y * x)))
+    return tuple(out)
+
+
+from functools import partial as _partial
+
+import jax as _jax
+
+
+@_partial(_jax.jit, static_argnames=("levels",))
+def _build_mip_u8_jit(mip_flat, levels):
+    lo4, sc4, segs = [], [], []
+    for off, n in levels:
+        seg = mip_flat[off:off + n]
+        lo = jnp.min(seg)
+        hi = jnp.max(seg)
+        # scale slightly INFLATED so q=255 decodes to >= hi despite fp
+        # rounding; lo + q*sc >= v for every v (quantize-UP contract)
+        sc = (hi - lo) * (1.0 / 254.99)
+        q = jnp.where(sc > 0.0,
+                      jnp.ceil((seg - lo) / jnp.maximum(sc, 1e-37)),
+                      0.0)
+        q = jnp.clip(q, 0.0, 255.0)
+        # fp-safety bump: decode must dominate the true value
+        q = jnp.clip(jnp.where(lo + q * sc < seg, q + 1.0, q), 0.0, 255.0)
+        lo4.append(lo)
+        sc4.append(sc)
+        segs.append(q.astype(jnp.int32))
+    flat_q = jnp.concatenate(segs)
+    n = flat_q.shape[0]
+    pad = -(-n // 4) * 4 - n
+    if pad:
+        flat_q = jnp.concatenate([flat_q, jnp.zeros((pad,), jnp.int32)])
+    b = flat_q.reshape(-1, 4)
+    words = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24))
+    return _pad_rows(words), jnp.stack(lo4), jnp.stack(sc4)
+
+
+def build_mip_u8(mip_tab, meta):
+    """Quantize the (rows, 128) f32 majorant table (already fully baked:
+    density_scale and any TF alpha transform applied) to per-level u8,
+    ROUNDING UP — decode (lo_l + q*sc_l) >= true value for every entry,
+    so every null-collision estimator stays unbiased (the majorant
+    contract of common.glsl:399-501; a looser majorant only adds null
+    collisions). 4x fewer table rows than f32 => 4x cheaper march scans
+    (the fetch-bound kernel's per-step cost tracks rows touched).
+
+    Returns (words (rows/4ish, 128) i32, lo (4,) f32, scale (4,) f32)."""
+    levels = _mip_level_slices(meta)
+    n_total = levels[-1][0] + levels[-1][1]
+    return _build_mip_u8_jit(mip_tab.reshape(-1)[:n_total], levels)
+
+
 POOL_N = 16384  # env NEE sample pool size (128 rows)
 
 
@@ -285,8 +387,11 @@ def build_env_pool(scene, seed: int, spp_base: int):
     }
 
 
-def build_params_rows(scene, params, width, full_height, spp_base, pix0=0):
-    """(pf (1,128) f32, pi (1,16) i32) for one trace dispatch."""
+def build_params_rows(scene, params, width, full_height, spp_base, pix0=0,
+                      mip_dq=None):
+    """(pf (1,128) f32, pi (1,16) i32) for one trace dispatch.
+    ``mip_dq`` = (lo (4,), scale (4,)) u8-mip dequant rows from
+    build_mip_u8 when the trace uses the quantized majorant table."""
     f32 = jnp.float32
     pf = jnp.zeros((128,), f32)
 
@@ -324,6 +429,9 @@ def build_params_rows(scene, params, width, full_height, spp_base, pix0=0):
         # (lookup_emission's two hops, ops/grid.py:193-213, pre-composed)
         emi_x = scene.emission.inv_transform @ scene.density.transform
         pf = put(PF_EMI_X, emi_x.reshape(-1))
+    if mip_dq is not None:
+        pf = put(PF_MIP_LO, mip_dq[0])
+        pf = put(PF_MIP_SCALE, mip_dq[1])
 
     pi = jnp.zeros((16,), jnp.int32)
     pi = pi.at[PI_WIDTH].set(jnp.asarray(width, jnp.int32))

@@ -434,10 +434,14 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
     from ..ops.pallas.kernel import _render_strips_jit
     from ..ops.pallas.pack import PI_PIX0, build_env_pool, build_params_rows
 
-    if not PL.supports_scene(scene, cfg):
+    from ..ops.pallas.pack import kernel_plan
+
+    plan = kernel_plan(scene, cfg)
+    if plan is None:
         raise NotImplementedError(
             "pallas engine does not support this scene (see "
-            "ops.pallas.supports_scene); use step_engine='device_queue'")
+            "ops.pallas.pack.kernel_plan); use step_engine='device_queue'")
+    hbm = plan == "hbm"
     n_dev = int(np.prod(list(mesh.shape.values())))
     axes = tuple(mesh.axis_names)
     n_pix = width * height
@@ -475,8 +479,10 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
               resolve_full=not (cfg.use_tf or cfg.has_emission),
               escape_full=False, nee_full=False, sublanes=8)
     kw.update(pallas_kw)
-    if cfg.use_tf or cfg.has_emission:
-        kw["resolve_full"] = False  # the full-lane resolve is no-TF-only
+    if cfg.use_tf or cfg.has_emission or hbm:
+        # full-lane resolve covers the VMEM no-TF kernel only (the HBM
+        # atlas serves through the compacted DMA row-gather)
+        kw["resolve_full"] = False
 
     def worker(tabs, pool, pf, pi):
         img, _iters = _render_strips_jit(
@@ -486,7 +492,7 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
             interpret, resolve_full=bool(kw["resolve_full"]),
             escape_full=bool(kw["escape_full"]),
             nee_full=bool(kw["nee_full"]),
-            sublanes=int(kw["sublanes"]))
+            sublanes=int(kw["sublanes"]), hbm_atlas=hbm)
         return img
 
     out = jax.shard_map(

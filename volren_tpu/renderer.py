@@ -85,6 +85,12 @@ class Renderer:
         self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
             "pallas" if jax.default_backend() == "tpu" else "device"
         )
+        # the engine that actually executed the most recent trace() —
+        # differs from step_engine when a capability gate forced a
+        # fallback; benches/labels must read THIS, never the request
+        # (round-4 verdict weak #2: a device_queue fallback was recorded
+        # as a pallas datapoint)
+        self.last_engine = None
         # kernel-engine knobs; defaults = the round-4 sweep optimum at
         # 1024^2 (km4 te2 u2 + full-lane serving + tile_w super-blocks,
         # probes/results/pallas9g/11.jsonl). escape_every=2 parks escape
@@ -119,6 +125,13 @@ class Renderer:
         # dynamic_gather scans; see ops/pallas/kernel.py fetch engines)
         self.pallas_mxu_gather = os.environ.get(
             "VOLREN_PALLAS_MXU", "0") == "1"
+        # u8-quantized majorant mips ("auto" = on for hbm-mode scenes,
+        # "1"/"0" force; pack.build_mip_u8) and resolve serve rounds
+        # (capacity = rounds x 128 per resolve call, demand-gated)
+        self.pallas_mip_u8 = os.environ.get("VOLREN_PALLAS_MIPU8",
+                                            "auto")
+        self.pallas_resolve_rounds = int(
+            os.environ.get("VOLREN_PALLAS_RR", "2"))
         # queue-engine knobs (None = auto): lane-array size and samples per
         # work item. csize=None renders each pixel's spp on one lane
         # (bit-identical to the other engines); smaller csize bounds the
@@ -313,14 +326,18 @@ class Renderer:
         from .ops.pallas.kernel import render_strips
         from .ops.pallas.pack import build_env_pool, build_params_rows
 
+        from .ops.pallas.pack import kernel_plan
+
         scene = self._scene_device()
         cfg = self._config()
-        if not _plk.supports_scene(scene, cfg):
+        plan = kernel_plan(scene, cfg)
+        if plan is None:
             raise NotImplementedError(
-                "pallas engine covers scenes whose atlases fit VMEM "
-                "(density + emission <= 12288 slots) and TF LUTs <= "
-                "2048 bins; use step_engine='device_queue'"
+                "pallas engine covers scenes whose non-atlas tables fit "
+                "VMEM (see ops.pallas.pack.kernel_plan); use "
+                "step_engine='device_queue'"
             )
+        hbm = plan == "hbm"
         frame = self.volume.grid_frame_counter
         if self._pallas_packed is None or self._pallas_packed[0] != frame:
             # keyed on the animation frame (a stale pack rendered frame 0
@@ -332,9 +349,6 @@ class Renderer:
         n_pix = self._width * self._height
         n_pad = -(-n_pix // 1024) * 1024
         pool = build_env_pool(scene, int(self.seed), int(self.sample))
-        pf, pi = build_params_rows(
-            scene, params, self._width, self._height, self.sample
-        )
         # work-queue mode over the largest super-block that tiles the
         # (padded) frame; strips only for frames the queue can't tile
         import math
@@ -367,21 +381,42 @@ class Renderer:
             mip_override = params.majorant * tf_alpha_majorant(
                 scene.tf, d_norm.reshape(-1), onehot=False
             ).reshape(raw.shape)
+        # u8-quantized majorant pyramid (pack.build_mip_u8): 4x cheaper
+        # full-lane march scans; quantize-UP keeps every null-collision
+        # estimator unbiased. "auto" = on for big-volume (hbm) scenes.
+        use_u8 = (hbm if self.pallas_mip_u8 == "auto"
+                  else self.pallas_mip_u8 == "1")
+        mip_dq = None
+        if use_u8:
+            from .ops.pallas.pack import build_mip_u8
+
+            base = (mip_override if mip_override is not None
+                    else packed.mip_maj * params.density_scale)
+            mip_override, lo4, sc4 = build_mip_u8(base, packed.meta)
+            mip_dq = (lo4, sc4)
+        pf, pi = build_params_rows(
+            scene, params, self._width, self._height, self.sample,
+            mip_dq=mip_dq,
+        )
         out = render_strips(
             packed, pool, pf, pi, n_pad, self._width, spp,
             queue_items=qi, test_every=self.pallas_test_every,
             unroll=self.pallas_unroll, k_march=self.pallas_k_march,
             escape_every=self.pallas_escape_every,
-            # the full-lane resolve covers the no-TF/no-emission kernel
+            # the full-lane resolve covers the no-TF/no-emission kernel;
+            # the HBM-atlas engine serves compacted only
             resolve_full=(self.pallas_resolve_full and not cfg.use_tf
-                          and not cfg.has_emission),
+                          and not cfg.has_emission and not hbm),
             escape_full=self.pallas_escape_full,
             nee_full=self.pallas_nee_full,
             sublanes=self.pallas_sublanes,
             tile_w=tile_w,
             scan_blocks=self.pallas_scan_blocks,
             nee_every=self.pallas_nee_every,
-            mxu_gather=self.pallas_mxu_gather,
+            mxu_gather=self.pallas_mxu_gather and not hbm,
+            mip_u8=use_u8,
+            hbm_atlas=hbm,
+            resolve_rounds=self.pallas_resolve_rounds,
             mip_override=mip_override,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
@@ -433,6 +468,8 @@ class Renderer:
                     return self.trace(spp)
                 finally:
                     self.step_engine = saved
+        self.last_engine = (self.step_engine
+                            if self.engine == "wavefront" else self.engine)
         if self.engine == "wavefront":
             if not self._use_dda:
                 raise NotImplementedError(
