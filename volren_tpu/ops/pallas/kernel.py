@@ -605,7 +605,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  resolve_rounds=2, resolve_full=False, escape_full=False,
                  nee_full=False, sublanes=8, tile_w=0, scan_blocks=8,
                  meta_block=0, nee_every=1, mxu_gather=False,
-                 mip_u8=False, hbm_atlas=False):
+                 mip_u8=False, hbm_atlas=False, mip_block=-1):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; sublanes*128 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -795,7 +795,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                 word = idx >> 2
                 rows = int(mip_t.shape[0])
                 (v32,) = _scan_gather([mip_t], word >> 7, word & 127,
-                                      rows, block=mip_block)
+                                      rows, block=mip_blk)
                 q = ((v32 >> ((idx & 3) * 8)) & 255).astype(f32)
                 lo = jnp.zeros(LANES, f32)
                 sc = jnp.zeros(LANES, f32)
@@ -805,7 +805,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     sc = jnp.where(sel, pf(PF_MIP_SCALE + m), sc)
                 return lo + q * sc
             (v,) = _scan_gather([mip_t], idx >> 7, idx & 127,
-                                meta.mip_rows, block=mip_block)
+                                meta.mip_rows, block=mip_blk)
             return v
 
         def fetch_atlas(slot, voff):
@@ -829,17 +829,20 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             return _compact_gather(tabs, idx, rows, None, rank=rank,
                                    served=served, block=block)[0]
 
-        def dma_atlas_rows(slot_c, n_served):
+        def dma_atlas_rows(slot_c):
             """HBM-atlas fetch engine: land brick row slot_c[0,i] of the
-            HBM atlas in dma_land[i] for i < n_served via one 512 B DMA
-            per compacted rank (the TPU answer to texelFetch on an
-            arbitrary-size atlas texture, renderer.cpp:159-225 /
-            common.glsl:268-275). Scalarization: the (1,128) index row
-            DMAs VMEM->SMEM once, then each scalar read feeds a
-            dynamic-slice HBM->VMEM row copy; all copies share one sem
-            and drain after issue (latency overlaps across rows).
-            Returns the (128,128) landing VALUE; rows >= n_served hold
-            stale data and MUST be masked by the caller."""
+            HBM atlas in dma_land[i] via one 512 B DMA per compacted
+            rank (the TPU answer to texelFetch on an arbitrary-size
+            atlas texture, renderer.cpp:159-225 / common.glsl:268-275).
+            Scalarization: the (1,128) index row DMAs VMEM->SMEM once,
+            then each scalar read feeds a dynamic-slice HBM->VMEM row
+            copy; all 128 copies share one sem and ONE whole-buffer
+            wait drains them (latency overlaps across rows). Cost
+            measured ~3.4-4 us per round on the v5e REGARDLESS of table
+            height — vs ~17 us for the in-VMEM atlas scan
+            (probes/results/dmagather4.jsonl; always-128 static issue
+            beats a demand-bounded loop: empty ranks carry slot 0 and
+            their landed rows are masked downstream)."""
             dma_stage[:] = slot_c
             cp = pltpu.make_async_copy(dma_stage, dma_smem, dma_sem_i)
             cp.start()
@@ -852,23 +855,18 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     dma_land.at[pl.ds(i, 1), :], dma_sem_r).start()
                 return c
 
-            lax.fori_loop(0, n_served, issue, 0)
-
-            def drain(i, c):
-                # wait() only consumes the descriptor's byte count —
-                # identical for every row copy, so a fixed slice works
-                pltpu.make_async_copy(
-                    atlas_ref.at[pl.ds(0, 1), :],
-                    dma_land.at[pl.ds(0, 1), :], dma_sem_r).wait()
-                return c
-
-            lax.fori_loop(0, n_served, drain, 0)
+            lax.fori_loop(0, 128, issue, 0)
+            # one wait for all 128 rows: the sem counts bytes and the
+            # whole-buffer descriptor's size equals the issued total
+            pltpu.make_async_copy(
+                atlas_ref.at[pl.ds(0, 128), :], dma_land,
+                dma_sem_r).wait()
             return dma_land[:]
 
-        def hbm_atlas_fetch(slot_c, word_c, n_served):
-            """out[0,j] = atlas[slot_c[0,j], word_c[0,j]] for the first
-            n_served compacted ranks (others: garbage, caller-masked)."""
-            landv = dma_atlas_rows(slot_c, n_served)
+        def hbm_atlas_fetch(slot_c, word_c):
+            """out[0,j] = atlas[slot_c[0,j], word_c[0,j]] per compacted
+            rank (empty ranks: slot 0 garbage, caller-masked)."""
+            landv = dma_atlas_rows(slot_c)
             lane = jax.lax.broadcasted_iota(i32, (1, 128), 1)
             (g32_c,) = _scan_rows_block([landv], lane, word_c, 0, 128)
             return g32_c
@@ -888,13 +886,20 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
         # step) — block-skip earlier than the compacted-scan threshold
         # so big-volume pyramids don't cost rows x sublanes every substep
         def _blk_full(rows):
-            if rows <= 32:
+            # r5sweep: block-skip LOSES on mid-size tables (74-row f32
+            # smoke mips: 5.82 vs 6.82 spp/s) — the cond predicates cost
+            # more than the skipped rows. Only tall pyramids benefit.
+            if rows <= 128:
                 return 0
             per = -(-rows // scan_blocks)
             return -(-per // 8) * 8
 
-        mip_block = _blk_full(int((mip_t if not isinstance(mip_t, tuple)
-                                   else mip_t[1]).shape[0]))
+        if mip_block < 0:
+            mip_blk = _blk_full(
+                int((mip_t if not isinstance(mip_t, tuple)
+                     else mip_t[1]).shape[0]))
+        else:
+            mip_blk = mip_block
 
 
         # ---- density machinery (ops/grid.py ports)
@@ -1015,9 +1020,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                         block=meta_block)
                     slot_c = jnp.clip(slot_c, 0, meta.n_slots - 1)
                     if hbm_atlas:
-                        g32_c = hbm_atlas_fetch(
-                            slot_c, voff_c >> 2,
-                            jnp.clip(tot - 128 * rnd, 0, 128))
+                        g32_c = hbm_atlas_fetch(slot_c, voff_c >> 2)
                     else:
                         (g32_c,) = _scan_rows(
                             [atlas_t], slot_c, voff_c >> 2, meta.n_slots,
@@ -1229,9 +1232,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                             block=meta_block)
                         slot_c = jnp.clip(slot_c, 0, meta.n_slots - 1)
                         if hbm_atlas:
-                            g32_c = hbm_atlas_fetch(
-                                slot_c, voff_c >> 2,
-                                jnp.clip(tot_test - 128 * rnd, 0, 128))
+                            g32_c = hbm_atlas_fetch(slot_c, voff_c >> 2)
                         else:
                             (g32_c,) = _scan_rows(
                                 [atlas_t], slot_c, voff_c >> 2,
@@ -1912,7 +1913,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                      "escape_rounds", "resolve_rounds", "resolve_full",
                      "escape_full", "nee_full", "sublanes", "tile_w",
                      "scan_blocks", "meta_block", "nee_every",
-                     "mxu_gather", "mip_u8", "hbm_atlas"),
+                     "mxu_gather", "mip_u8", "hbm_atlas", "mip_block"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
@@ -1922,7 +1923,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        nee_full=False, sublanes=8, tile_w=0,
                        scan_blocks=8, meta_block=0, nee_every=1,
                        mxu_gather=False, mip_u8=False, hbm_atlas=False,
-                       perm=None):
+                       mip_block=-1, perm=None):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
@@ -1937,7 +1938,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                           scan_blocks=scan_blocks,
                           meta_block=meta_block, nee_every=nee_every,
                           mxu_gather=mxu_gather, mip_u8=mip_u8,
-                          hbm_atlas=hbm_atlas)
+                          hbm_atlas=hbm_atlas, mip_block=mip_block)
 
     img_rows = (queue_items // 128) if queue_items else sublanes
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -2039,7 +2040,7 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   resolve_full=False, escape_full=False, nee_full=False,
                   sublanes=8, tile_w=0, scan_blocks=8, meta_block=0,
                   nee_every=1, mxu_gather=False, mip_u8=False,
-                  hbm_atlas=False):
+                  hbm_atlas=False, mip_block=-1):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -2103,7 +2104,7 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         tile_w=tile_w, scan_blocks=int(scan_blocks),
         meta_block=int(meta_block), nee_every=int(nee_every),
         mxu_gather=bool(mxu_gather), mip_u8=bool(mip_u8),
-        hbm_atlas=bool(hbm_atlas), perm=perm)
+        hbm_atlas=bool(hbm_atlas), mip_block=int(mip_block), perm=perm)
     if return_iters:
         return img, iters
     return img

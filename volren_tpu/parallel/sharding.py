@@ -485,11 +485,16 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
         kw["resolve_full"] = False
 
     def worker(tabs, pool, pf, pi):
+        # env_rgbe=True matches the single-device engine's packed env
+        # fetch (render_strips default) — the dryrun asserts BITWISE
+        # equality between the two, which caught this defaulting to the
+        # unpacked 3-table fetch in round 5
         img, _iters = _render_strips_jit(
             tabs, pool, pf, pi, meta, int(width), per_dev // qi,
             int(spp), int(kw["k_march"]), int(kw["test_every"]),
             int(kw["unroll"]), int(kw["escape_every"]), True, qi,
-            interpret, resolve_full=bool(kw["resolve_full"]),
+            interpret, env_rgbe=True,
+            resolve_full=bool(kw["resolve_full"]),
             escape_full=bool(kw["escape_full"]),
             nee_full=bool(kw["nee_full"]),
             sublanes=int(kw["sublanes"]), hbm_atlas=hbm)

@@ -125,13 +125,25 @@ class Renderer:
         # dynamic_gather scans; see ops/pallas/kernel.py fetch engines)
         self.pallas_mxu_gather = os.environ.get(
             "VOLREN_PALLAS_MXU", "0") == "1"
-        # u8-quantized majorant mips ("auto" = on for hbm-mode scenes,
-        # "1"/"0" force; pack.build_mip_u8) and resolve serve rounds
-        # (capacity = rounds x 128 per resolve call, demand-gated)
-        self.pallas_mip_u8 = os.environ.get("VOLREN_PALLAS_MIPU8",
-                                            "auto")
+        # u8-quantized majorant mips (pack.build_mip_u8): default ON —
+        # 4x fewer march-scan rows bought +26% at 1024^2 and +75% at
+        # 256^2 in-session (probes/results/r5sweep.jsonl, hbm.jsonl);
+        # quantize-UP keeps null-collision estimators unbiased.
+        # "0" forces f32 mips, "auto" = only for hbm-mode scenes.
+        self.pallas_mip_u8 = os.environ.get("VOLREN_PALLAS_MIPU8", "1")
         self.pallas_resolve_rounds = int(
             os.environ.get("VOLREN_PALLAS_RR", "2"))
+        # mip-scan block-skip: -1 auto (block tall tables), 0 off
+        self.pallas_mip_block = int(
+            os.environ.get("VOLREN_PALLAS_MIPBLOCK", "-1"))
+        # compacted meta-scan block-skip rows (0 = full scan)
+        self.pallas_meta_block = int(
+            os.environ.get("VOLREN_PALLAS_METABLOCK", "0"))
+        # force the HBM-atlas fetch engine on VMEM-sized scenes
+        # (probe/A-B use; kernel_plan picks it automatically when the
+        # atlas exceeds the VMEM gate)
+        self.pallas_force_hbm = os.environ.get(
+            "VOLREN_PALLAS_HBM", "0") == "1"
         # queue-engine knobs (None = auto): lane-array size and samples per
         # work item. csize=None renders each pixel's spp on one lane
         # (bit-identical to the other engines); smaller csize bounds the
@@ -337,7 +349,7 @@ class Renderer:
                 "VMEM (see ops.pallas.pack.kernel_plan); use "
                 "step_engine='device_queue'"
             )
-        hbm = plan == "hbm"
+        hbm = plan == "hbm" or self.pallas_force_hbm
         frame = self.volume.grid_frame_counter
         if self._pallas_packed is None or self._pallas_packed[0] != frame:
             # keyed on the animation frame (a stale pack rendered frame 0
@@ -417,6 +429,8 @@ class Renderer:
             mip_u8=use_u8,
             hbm_atlas=hbm,
             resolve_rounds=self.pallas_resolve_rounds,
+            mip_block=self.pallas_mip_block,
+            meta_block=self.pallas_meta_block,
             mip_override=mip_override,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
