@@ -47,6 +47,16 @@ CONFIGS = {
     "rr4": {"pallas_resolve_rounds": 4},
     "te1": {"pallas_test_every": 1},
     "s16": {"pallas_sublanes": 16},
+    # round-2 combos (te1 +11%, rr4 +6% solo — resolve serve cadence x
+    # capacity is the cloud's binding constraint)
+    "te1rr4": {"pallas_test_every": 1, "pallas_resolve_rounds": 4},
+    "te1rr8": {"pallas_test_every": 1, "pallas_resolve_rounds": 8},
+    "km8te1rr4": {"pallas_k_march": 8, "pallas_test_every": 1,
+                  "pallas_resolve_rounds": 4},
+    "te1rr4s16": {"pallas_test_every": 1, "pallas_resolve_rounds": 4,
+                  "pallas_sublanes": 16},
+    "te1rr4ee1": {"pallas_test_every": 1, "pallas_resolve_rounds": 4,
+                  "pallas_escape_every": 1},
 }
 
 

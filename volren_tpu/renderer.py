@@ -144,6 +144,20 @@ class Renderer:
         # atlas exceeds the VMEM gate)
         self.pallas_force_hbm = os.environ.get(
             "VOLREN_PALLAS_HBM", "0") == "1"
+        # hbm-mode scenes run a different sweep optimum (cloud5.jsonl:
+        # test_every=1, resolve_rounds=4, sublanes=16 = 3.20 spp/s vs
+        # base 2.62 and device_queue 2.37, one session) — applied in
+        # _render_pallas unless the knob was explicitly set
+        self._pallas_knob_defaults = {
+            "pallas_test_every": self.pallas_test_every,
+            "pallas_resolve_rounds": self.pallas_resolve_rounds,
+            "pallas_sublanes": self.pallas_sublanes,
+        }
+        self._pallas_env_set = {
+            "pallas_test_every": "VOLREN_PALLAS_TE" in os.environ,
+            "pallas_resolve_rounds": "VOLREN_PALLAS_RR" in os.environ,
+            "pallas_sublanes": "VOLREN_PALLAS_SUB" in os.environ,
+        }
         # queue-engine knobs (None = auto): lane-array size and samples per
         # work item. csize=None renders each pixel's spp on one lane
         # (bit-identical to the other engines); smaller csize bounds the
@@ -410,9 +424,19 @@ class Renderer:
             scene, params, self._width, self._height, self.sample,
             mip_dq=mip_dq,
         )
+        def knob(name, hbm_default):
+            """hbm-mode sweep optimum unless the knob was pinned (env
+            var or a post-init assignment)."""
+            val = getattr(self, name)
+            if (hbm and not self._pallas_env_set.get(name)
+                    and val == self._pallas_knob_defaults.get(name)):
+                return hbm_default
+            return val
+
         out = render_strips(
             packed, pool, pf, pi, n_pad, self._width, spp,
-            queue_items=qi, test_every=self.pallas_test_every,
+            queue_items=qi,
+            test_every=knob("pallas_test_every", 1),
             unroll=self.pallas_unroll, k_march=self.pallas_k_march,
             escape_every=self.pallas_escape_every,
             # the full-lane resolve covers the no-TF/no-emission kernel;
@@ -421,14 +445,14 @@ class Renderer:
                           and not cfg.has_emission and not hbm),
             escape_full=self.pallas_escape_full,
             nee_full=self.pallas_nee_full,
-            sublanes=self.pallas_sublanes,
+            sublanes=knob("pallas_sublanes", 16),
             tile_w=tile_w,
             scan_blocks=self.pallas_scan_blocks,
             nee_every=self.pallas_nee_every,
             mxu_gather=self.pallas_mxu_gather and not hbm,
             mip_u8=use_u8,
             hbm_atlas=hbm,
-            resolve_rounds=self.pallas_resolve_rounds,
+            resolve_rounds=knob("pallas_resolve_rounds", 4),
             mip_block=self.pallas_mip_block,
             meta_block=self.pallas_meta_block,
             mip_override=mip_override,
