@@ -65,7 +65,11 @@ while done < SPP:
           file=sys.stderr, flush=True)
 dt = time.time() - t0
 
-out = os.path.join(REPO, "docs", "parity", f"example_{RES}_{SPP}spp.png")
+eng = r.last_engine or r.step_engine
+out = os.path.join(REPO, "docs", "parity",
+                   f"example_{RES}_{SPP}spp_{eng}.png"
+                   if eng != "device_queue" else
+                   f"example_{RES}_{SPP}spp.png")
 save_ldr(out, r.draw(), flip=True, alpha=False)
 
 cmp = subprocess.run(
@@ -78,6 +82,11 @@ for line in cmp.stdout.splitlines():
     if line.startswith("relative RMSE:"):
         rel = float(line.split()[-1].rstrip("%"))
 print(cmp.stdout, file=sys.stderr)
-print(json.dumps({"probe": "parity", "res": RES, "spp": SPP,
-                  "rel_rmse_pct": rel, "spp_s": round(SPP / dt, 3),
-                  "png": out}), flush=True)
+line = json.dumps({"probe": "parity", "res": RES, "spp": SPP,
+                   "engine": eng,
+                   "rel_rmse_pct": rel, "spp_s": round(SPP / dt, 3),
+                   "png": out})
+print(line, flush=True)
+with open(os.path.join(REPO, "probes", "results", "parity4k.jsonl"),
+          "a") as f:
+    f.write(line + "\n")
