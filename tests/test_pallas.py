@@ -383,3 +383,33 @@ def test_mip_u8_kernel_statistical(random_grid16):
     mean_rel = abs(u8_img[..., :3].mean() - f32_img[..., :3].mean()) / max(
         f32_img[..., :3].mean(), 1e-9)
     assert mean_rel < 0.05, mean_rel
+
+
+def test_pool_rgbe_serve(random_grid16):
+    """5-table RGBE NEE pool serve: radiance decodes within 1/256 of
+    the f32 channels, directions/pdf untouched, and the render stays
+    within the engine's own sample-noise band of the 7-table form."""
+    r = _tiny_renderer(random_grid16)
+    scene = r._scene_device()
+    from volren_tpu.ops.pallas import pack_scene
+    from volren_tpu.ops.pallas.kernel import render_strips
+    from volren_tpu.ops.pallas.pack import (
+        build_env_pool, build_params_rows, rgbe_decode_np)
+
+    pool = build_env_pool(scene, 123, 0)
+    le = np.stack([np.asarray(pool[k]).reshape(-1)
+                   for k in ("ler", "leg", "leb")], axis=-1)
+    dec = rgbe_decode_np(np.asarray(pool["lergbe"]).reshape(-1))
+    scale = np.maximum(np.abs(le).max(axis=-1, keepdims=True), 1e-30)
+    assert (np.abs(dec - le) / scale).max() < 1.0 / 255.0
+
+    packed = pack_scene(scene)
+    pf, pi = build_params_rows(scene, r._trace_params(), 32, 32, 0)
+    a = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 4,
+                                 queue_items=1024))
+    b = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 4,
+                                 queue_items=1024, pool_rgbe=True))
+    assert np.isfinite(b).all()
+    rel = abs(b[:, :3].mean() - a[:, :3].mean()) / max(
+        a[:, :3].mean(), 1e-9)
+    assert rel < 0.02, rel

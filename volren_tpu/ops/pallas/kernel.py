@@ -605,7 +605,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  resolve_rounds=2, resolve_full=False, escape_full=False,
                  nee_full=False, sublanes=8, tile_w=0, scan_blocks=8,
                  meta_block=0, nee_every=1, mxu_gather=False,
-                 mip_u8=False, hbm_atlas=False, mip_block=-1):
+                 mip_u8=False, hbm_atlas=False, mip_block=-1,
+                 pool_rgbe=False):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; sublanes*128 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -668,7 +669,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             return out
 
         (pf_ref, pi_ref, atlas_ref, mslot_ref, mlo_ref, mhi_ref,
-         mip_ref, pwx, pwy, pwz, ppdf, pler, pleg, pleb) = take(14)
+         mip_ref) = take(7)
+        pool_refs = take(5 if pool_rgbe else 7)
         env_refs = take(1 if env_rgbe else 3)
         tf_refs = take(4) if use_tf else []
         emi_refs = take(4) if has_emi else []
@@ -767,8 +769,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
             mip_t = mip_ref[:]          # (rows,128) i32, 4 u8 per word
         else:
             mip_t = m_f(mip_ref[:])
-        pool_t = [m_f(ref[:]) for ref in
-                  (pwx, pwy, pwz, ppdf, pler, pleg, pleb)]
+        pool_t = [(m_f(ref[:]) if ref.dtype == f32 else m_full(ref[:]))
+                  for ref in pool_refs]
         env_t = [(m_full if ref.dtype != f32 else m_f)(ref[:])
                  for ref in env_refs]
         tf_t = [m_f(ref[:]) for ref in tf_refs]   # r, g, b, a channels
@@ -1446,8 +1448,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                         return tuple(jnp.where(m_r, v, o)
                                      for v, o in zip(vals, outs))
 
-                    zero7 = jnp.zeros(LANES, f32)
-                    outs = (zero7,) * 7
+                    outs = tuple(jnp.zeros(LANES, _tab_dtype(t))
+                                 for t in pool_t)
                     for rnd in range(NEE_ROUNDS):
                         if rnd == 0:
                             outs = serve_nee(0, outs)
@@ -1455,13 +1457,22 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                             outs = lax.cond(tot_hit > 128 * rnd,
                                             partial(serve_nee, rnd),
                                             lambda o: tuple(o), outs)
-                    wx, wy, wz, pdf_nee, ler, leg, leb = outs
+                    if pool_rgbe:
+                        wx, wy, wz, pdf_nee, lw = outs
+                        ler, leg, leb = _rgbe_decode(lw)
+                    else:
+                        wx, wy, wz, pdf_nee, ler, leg, leb = outs
                 else:
-                    wx, wy, wz, pdf_nee, ler, leg, leb = fetch_pool(pidx)
+                    pouts = fetch_pool(pidx)
+                    if pool_rgbe:
+                        wx, wy, wz, pdf_nee, lw = pouts
+                        ler, leg, leb = _rgbe_decode(lw)
+                    else:
+                        wx, wy, wz, pdf_nee, ler, leg, leb = pouts
                     if "nfull" in probe_dup:
                         ez = s["event"] >> 30   # 0; CSE-defeat
                         dupf = fetch_pool(pidx + ez)
-                        wx = wx + f32(1e-30) * dupf[0]
+                        wx = wx + f32(1e-30) * dupf[0].astype(f32)
                 if "nee" in probe_dup and compact:
                     ez = s["event"] >> 30   # 0, but not provably (CSE)
                     dup = cfetch(pool_t, meta.pool_rows, pidx + ez,
@@ -1913,7 +1924,8 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                      "escape_rounds", "resolve_rounds", "resolve_full",
                      "escape_full", "nee_full", "sublanes", "tile_w",
                      "scan_blocks", "meta_block", "nee_every",
-                     "mxu_gather", "mip_u8", "hbm_atlas", "mip_block"),
+                     "mxu_gather", "mip_u8", "hbm_atlas", "mip_block",
+                     "pool_rgbe"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
@@ -1923,7 +1935,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        nee_full=False, sublanes=8, tile_w=0,
                        scan_blocks=8, meta_block=0, nee_every=1,
                        mxu_gather=False, mip_u8=False, hbm_atlas=False,
-                       mip_block=-1, perm=None):
+                       mip_block=-1, pool_rgbe=False, perm=None):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
@@ -1938,7 +1950,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                           scan_blocks=scan_blocks,
                           meta_block=meta_block, nee_every=nee_every,
                           mxu_gather=mxu_gather, mip_u8=mip_u8,
-                          hbm_atlas=hbm_atlas, mip_block=mip_block)
+                          hbm_atlas=hbm_atlas, mip_block=mip_block,
+                          pool_rgbe=pool_rgbe)
 
     img_rows = (queue_items // 128) if queue_items else sublanes
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -1956,7 +1969,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                             memory_space=pltpu.VMEM)
 
     table_order = ("atlas_p", "meta_slot", "meta_lo", "meta_hi", "mip_maj")
-    pool_order = ("wx", "wy", "wz", "pdf", "ler", "leg", "leb")
+    pool_order = (("wx", "wy", "wz", "pdf", "lergbe") if pool_rgbe
+                  else ("wx", "wy", "wz", "pdf", "ler", "leg", "leb"))
     env_keys = ("env_rgbe",) if env_rgbe else ("env_r", "env_g", "env_b")
     if meta.tf_rows:
         env_keys = env_keys + ("tf_r", "tf_g", "tf_b", "tf_a")
@@ -1996,8 +2010,7 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
         **kwargs,
     )(pf, pi, tabs["atlas_p"], tabs["meta_slot"], tabs["meta_lo"],
       tabs["meta_hi"], tabs["mip_maj"],
-      pool["wx"], pool["wy"], pool["wz"], pool["pdf"],
-      pool["ler"], pool["leg"], pool["leb"],
+      *(pool[k] for k in pool_order),
       *(tabs[k] for k in env_keys))
     r, g, b, a, iters = outs
     n_pix = n_strips * img_rows * 128
@@ -2040,7 +2053,7 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   resolve_full=False, escape_full=False, nee_full=False,
                   sublanes=8, tile_w=0, scan_blocks=8, meta_block=0,
                   nee_every=1, mxu_gather=False, mip_u8=False,
-                  hbm_atlas=False, mip_block=-1):
+                  hbm_atlas=False, mip_block=-1, pool_rgbe=False):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -2104,7 +2117,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         tile_w=tile_w, scan_blocks=int(scan_blocks),
         meta_block=int(meta_block), nee_every=int(nee_every),
         mxu_gather=bool(mxu_gather), mip_u8=bool(mip_u8),
-        hbm_atlas=bool(hbm_atlas), mip_block=int(mip_block), perm=perm)
+        hbm_atlas=bool(hbm_atlas), mip_block=int(mip_block),
+        pool_rgbe=bool(pool_rgbe), perm=perm)
     if return_iters:
         return img, iters
     return img

@@ -384,6 +384,11 @@ def build_env_pool(scene, seed: int, spp_base: int):
         "ler": le[:, 0].reshape(128, 128),
         "leg": le[:, 1].reshape(128, 128),
         "leb": le[:, 2].reshape(128, 128),
+        # radiance channels RGBE-packed into ONE i32 table: the NEE
+        # serve scans 5 tables instead of 7 (the pool fetch was +7.8
+        # us/step in the round-4 attribution). Same 1/256 precision the
+        # reference's .hdr assets carry on disk (kernel pool_rgbe flag)
+        "lergbe": rgbe_encode(le).reshape(128, 128),
     }
 
 

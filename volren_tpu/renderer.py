@@ -139,6 +139,10 @@ class Renderer:
         # compacted meta-scan block-skip rows (0 = full scan)
         self.pallas_meta_block = int(
             os.environ.get("VOLREN_PALLAS_METABLOCK", "0"))
+        # NEE pool radiance as ONE RGBE table (5-table serve instead of
+        # 7; same 1/256 precision the .hdr assets carry on disk)
+        self.pallas_pool_rgbe = os.environ.get(
+            "VOLREN_PALLAS_POOLRGBE", "1") == "1"
         # force the HBM-atlas fetch engine on VMEM-sized scenes
         # (probe/A-B use; kernel_plan picks it automatically when the
         # atlas exceeds the VMEM gate)
@@ -455,6 +459,7 @@ class Renderer:
             resolve_rounds=knob("pallas_resolve_rounds", 4),
             mip_block=self.pallas_mip_block,
             meta_block=self.pallas_meta_block,
+            pool_rgbe=self.pallas_pool_rgbe,
             mip_override=mip_override,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
