@@ -497,7 +497,8 @@ def render_sharded_pallas(scene, params, cfg, width, height, spp, spp_base,
             resolve_full=bool(kw["resolve_full"]),
             escape_full=bool(kw["escape_full"]),
             nee_full=bool(kw["nee_full"]),
-            sublanes=int(kw["sublanes"]), hbm_atlas=hbm)
+            sublanes=int(kw["sublanes"]), hbm_atlas=hbm,
+            pool_rgbe=True)
         return img
 
     out = jax.shard_map(
