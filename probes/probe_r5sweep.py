@@ -25,6 +25,7 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results",
                    "r5sweep.jsonl")
 SEED = int(os.environ.get("PROBE_SEED", str(int(time.time()) % 100000)))
 SPP = int(os.environ.get("PROBE_SPP", "16"))
+RES = int(os.environ.get("PROBE_RES", "1024"))
 ONLY = os.environ.get("PROBE_ONLY", "")
 
 
@@ -47,6 +48,21 @@ CONFIGS = {
              "pallas_resolve_rounds": 4},
     "hbm8": {"pallas_force_hbm": True, "pallas_mip_u8": "1",
              "pallas_resolve_rounds": 8},
+    # round-5b: re-tune the r4 optimum under u8 mips + RGBE pool
+    "pool0": {"pallas_pool_rgbe": False},
+    "nee2": {"pallas_nee_every": 2},
+    "ee1": {"pallas_escape_every": 1},
+    "ee4": {"pallas_escape_every": 4},
+    "te1": {"pallas_test_every": 1},
+    "te4": {"pallas_test_every": 4},
+    "km2": {"pallas_k_march": 2},
+    "km8": {"pallas_k_march": 8},
+    "tile128": {"pallas_tile_w": 128},
+    "tile512": {"pallas_tile_w": 512},
+    "sb4": {"pallas_scan_blocks": 4},
+    "sb16": {"pallas_scan_blocks": 16},
+    "u4": {"pallas_unroll": 4},
+    "u1": {"pallas_unroll": 1},
 }
 
 
@@ -55,7 +71,7 @@ def main():
     from volren_tpu.scene.environment import Environment
     from volren_tpu.voldata import Volume
 
-    emit({"mode": "env", "seed": SEED, "spp": SPP})
+    emit({"mode": "env", "seed": SEED, "spp": SPP, "res": RES})
     vol = Volume("/root/reference/data/smoke.brick")
     env = Environment(
         "/root/reference/data/table_mountain_2_puresky_1k.hdr")
@@ -71,7 +87,7 @@ def main():
             r.step_engine = "pallas"
             for k, v in CONFIGS[name].items():
                 setattr(r, k, v)
-            r.init(1024, 1024)
+            r.init(RES, RES)
             r.commit()
             t0 = time.time()
             r.trace(SPP)

@@ -41,6 +41,12 @@ _shard = os.environ.get("DATAGEN_SHARD")
 SHARD_K, SHARD_N = (int(v) for v in _shard.split("/")) if _shard else (0, 1)
 assert 0 <= SHARD_K < SHARD_N, "DATAGEN_SHARD must be k/n with 0 <= k < n"
 ENABLE_RANDOM_TRANSFERFUNC = os.environ.get("DATAGEN_RANDOM_TF", "0") == "1"
+# resume support: skip the first DATAGEN_RESUME owned scenes and append
+# into existing shard files (the scene parameter stream is drawn per
+# index, so a restarted run reproduces the identical scenes) — lets a
+# watchdog parent restart the run after a wedged device call
+# (probes/probe_datagen.py)
+RESUME = int(os.environ.get("DATAGEN_RESUME", "0"))
 
 
 def glob_directory(root, ext=".hdr"):
@@ -107,12 +113,13 @@ def main():
     h, w = int(size.y), int(size.x)
     owned = [i for i in range(N_IMAGES) if i % SHARD_N == SHARD_K]
     h5_stem = H5_NAME + (f"_shard{SHARD_K}of{SHARD_N}" if SHARD_N > 1 else "")
-    file_input = h5py.File(h5_stem + "_input.h5", "w")
-    dataset_input = file_input.create_dataset(
+    mode = "a" if RESUME else "w"
+    file_input = h5py.File(h5_stem + "_input.h5", mode)
+    dataset_input = file_input.require_dataset(
         "color", shape=(len(owned), 3, h, w), dtype=np.float16
     )
-    file_target = h5py.File(h5_stem + "_target.h5", "w")
-    dataset_target = file_target.create_dataset(
+    file_target = h5py.File(h5_stem + "_target.h5", mode)
+    dataset_target = file_target.require_dataset(
         "color", shape=(len(owned), 3, h, w), dtype=np.float16
     )
 
@@ -122,7 +129,9 @@ def main():
         if i % SHARD_N != SHARD_K:
             continue  # params drawn above keep the scene stream aligned
         j += 1
-        print(f"rendering {i + 1}/{N_IMAGES}..")
+        if j < RESUME:
+            continue
+        print(f"rendering {i + 1}/{N_IMAGES}..", flush=True)
         renderer.volume = volpy.Volume(params["vol_path"])
         renderer.commit()
         renderer.albedo = params["vol_albedo"]
@@ -152,12 +161,23 @@ def main():
         # noisy
         renderer.seed = params["seed_input"]
         renderer.bounces = params["max_bounces"]
+        import time as _time
+
+        t0 = _time.time()
         renderer.render(params["samples"])
         dataset_input[j] = fbo_to_dataset(renderer.fbo_data())
+        file_input.flush()
+        t1 = _time.time()
+        print(f"@SCENE {j} noisy {params['samples']}spp {t1 - t0:.1f}s",
+              flush=True)
         # converged
         renderer.seed = params["seed_target"]
+        renderer.bounces = params["max_bounces"]
         renderer.render(N_SAMPLES_TARGET)
         dataset_target[j] = fbo_to_dataset(renderer.fbo_data())
+        file_target.flush()
+        print(f"@SCENE {j} clean {N_SAMPLES_TARGET}spp "
+              f"{_time.time() - t1:.1f}s", flush=True)
 
     file_input.close()
     file_target.close()
