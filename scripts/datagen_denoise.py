@@ -163,8 +163,23 @@ def main():
         renderer.bounces = params["max_bounces"]
         import time as _time
 
+        def render_hb(spp, tag):
+            """render() with a per-chunk heartbeat so the watchdog
+            parent can tell a slow render from a wedged dispatch."""
+            renderer.reset()
+            done = 0
+            t_hb = _time.time()
+            while done < spp:
+                n = min(64, spp - done)
+                renderer._core.trace(n)
+                np.asarray(renderer._core.framebuffer()[..., 0].sum())
+                done += n
+                print(f"@HB {tag} {done}/{spp} "
+                      f"{done / (_time.time() - t_hb):.2f}spp/s",
+                      flush=True)
+
         t0 = _time.time()
-        renderer.render(params["samples"])
+        render_hb(params["samples"], "noisy")
         dataset_input[j] = fbo_to_dataset(renderer.fbo_data())
         file_input.flush()
         t1 = _time.time()
@@ -173,7 +188,7 @@ def main():
         # converged
         renderer.seed = params["seed_target"]
         renderer.bounces = params["max_bounces"]
-        renderer.render(N_SAMPLES_TARGET)
+        render_hb(N_SAMPLES_TARGET, "clean")
         dataset_target[j] = fbo_to_dataset(renderer.fbo_data())
         file_target.flush()
         print(f"@SCENE {j} clean {N_SAMPLES_TARGET}spp "
