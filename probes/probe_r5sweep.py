@@ -63,6 +63,7 @@ CONFIGS = {
     "sb16": {"pallas_scan_blocks": 16},
     "u4": {"pallas_unroll": 4},
     "u1": {"pallas_unroll": 1},
+    "u8off": {"pallas_mip_u8": "0"},
 }
 
 
