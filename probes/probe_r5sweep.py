@@ -64,6 +64,10 @@ CONFIGS = {
     "u4": {"pallas_unroll": 4},
     "u1": {"pallas_unroll": 1},
     "u8off": {"pallas_mip_u8": "0"},
+    "tile64": {"pallas_tile_w": 64},
+    "tile128b": {"pallas_tile_w": 128},
+    "tile128ee1": {"pallas_tile_w": 128, "pallas_escape_every": 1},
+    "tile128nee2": {"pallas_tile_w": 128, "pallas_nee_every": 2},
 }
 
 

@@ -386,19 +386,27 @@ class Renderer:
         qi = 1024 * math.gcd(n_pad // 1024, 64)
         tile_w = self.pallas_tile_w
         if tile_w < 0:
-            # auto: the largest power-of-two tile width <= sqrt(qi) that
-            # tiles the padded frame exactly (live rays' footprint
-            # shrinks ~4x vs a W-wide band -> block-skipped scans touch
-            # fewer blocks; probes/results/pallas9g.jsonl)
+            # auto: NARROW power-of-two tiles ~sqrt(qi)/4 wide (r5sweep:
+            # tile64 9.1 vs auto-256 8.4 spp/s @1024² — the live rays'
+            # footprint shrinks further, so block-skipped scans touch
+            # fewer blocks; tall-narrow beats square here)
             tile_w = 0
-            tw = 1 << (int(qi).bit_length() - 1) // 2
-            while tw >= 8:
+            want = max(8, (1 << (int(qi).bit_length() - 1) // 2) >> 2)
+            valid = []
+            tw = 8
+            while tw <= qi:
                 th = qi // tw
                 if (self._width % tw == 0 and qi % tw == 0
                         and n_pad % (self._width * th) == 0):
-                    tile_w = tw
-                    break
-                tw //= 2
+                    valid.append(tw)
+                tw *= 2
+            if valid:
+                # closest power-of-two to the target width (prefer the
+                # narrower one on ties)
+                tile_w = min(
+                    valid,
+                    key=lambda t: (abs(t.bit_length() - want.bit_length()),
+                                   t))
         mip_override = None
         if cfg.use_tf:
             # pre-bake the TF majorant transform into the mip table (it
