@@ -79,12 +79,12 @@ STAGES = [
         # headline is an engine DUEL at 1024^2: device_queue (round-3
         # champion) vs the pallas megakernel (round-4 work); 48 spp = 3
         # chunk windows -> a real median (round-3 verdict weak #5)
-        "256:64:device_queue,512:32:pallas,1024:48:device_queue,1024:48:pallas",
+        "256:96:device_queue,512:96:pallas,1024:144:device_queue,1024:144:pallas",
     ).split(",")
 ]
 # one dense-cloud stage (BASELINE config 3 stand-in; round-3 verdict #5):
 # "res:spp:engine" on the procedural 512^3 cumulus, or "" to skip
-CLOUD_STAGE = os.environ.get("BENCH_CLOUD", "1024:16:pallas")
+CLOUD_STAGE = os.environ.get("BENCH_CLOUD", "1024:48:pallas")
 CLOUD_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".cache", "cloud512.brick")
 QUEUE_CSIZE = int(os.environ.get("BENCH_QUEUE_CSIZE", "2"))
@@ -279,8 +279,13 @@ def main():
         NOTES.md floor_chain); a >2x spread re-runs the stage once."""
         r = build(res, engine, volume_override)
         # warmup/compile with the SAME chunk size the measurement uses —
-        # the queue engine compiles per static spp value
-        chunk = max(1, min(16, spp))  # 16 = the device_queue dispatch fence
+        # the queue engine compiles per static spp value. 48-spp chunks:
+        # the drain tail amortizes with dispatch size (48-spp dispatches
+        # measured 12.55 vs ~8.4 spp/s for 16-spp in one session,
+        # r5sweep.jsonl) and production renders (sppx>=1024) run 64-spp
+        # fenced chunks anyway — 16-spp chunking under-reported the
+        # engine. 48 keeps 3 median pulls per 144-spp stage.
+        chunk = max(1, min(48, spp))
         t0 = time.time()
         r.render(chunk)
         np.asarray(r.framebuffer())  # PULL: block_until_ready does not

@@ -68,6 +68,11 @@ CONFIGS = {
     "tile128b": {"pallas_tile_w": 128},
     "tile128ee1": {"pallas_tile_w": 128, "pallas_escape_every": 1},
     "tile128nee2": {"pallas_tile_w": 128, "pallas_nee_every": 2},
+    "tile32": {"pallas_tile_w": 32},
+    "t64s16": {"pallas_tile_w": 64, "pallas_sublanes": 16},
+    "t64nee2": {"pallas_tile_w": 64, "pallas_nee_every": 2},
+    "t64ee4": {"pallas_tile_w": 64, "pallas_escape_every": 4},
+    "t64sb16": {"pallas_tile_w": 64, "pallas_scan_blocks": 16},
 }
 
 
