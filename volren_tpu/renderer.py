@@ -78,10 +78,13 @@ class Renderer:
         # "chunked": host loop over unrolled straight-line megasteps;
         # "device": one while_loop with the fixed lane=pixel mapping (CPU
         # default); "host": per-phase dispatch (interruptible).
-        # TPU default is the Pallas megakernel (round-4: it beats
-        # device_queue at every resolution — 8.5 vs 5.3 spp/s @1024^2,
-        # probes/results/pallas9e.jsonl); scenes past its VMEM gate fall
-        # back to device_queue with a warning (trace()).
+        # TPU default is the Pallas megakernel (round-5: 14.5 vs 5.0
+        # spp/s @1024^2 against device_queue, BENCH_r05; u8 mips +
+        # narrow-tile super-blocks + RGBE pool). Scenes whose atlas
+        # exceeds the VMEM gate run the kernel's HBM-atlas mode
+        # (pack.kernel_plan — DMA row-gather resolves; cloud 3.65 vs
+        # 2.37 device_queue); only scenes whose NON-atlas tables exceed
+        # VMEM fall back to device_queue with a warning (trace()).
         self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
             "pallas" if jax.default_backend() == "tpu" else "device"
         )
