@@ -31,6 +31,7 @@ equivalence, scene.build_alias_table).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -363,7 +364,12 @@ def build_mip_u8(mip_tab, meta):
     return _build_mip_u8_jit(mip_tab.reshape(-1)[:n_total], levels)
 
 
-POOL_N = 16384  # env NEE sample pool size (128 rows)
+# env NEE sample pool size (rows = POOL_N/128). 16384 default; smaller
+# pools cut the full-lane pool-scan cost linearly at the price of more
+# sample reuse correlation (still unbiased — i.i.d. draws from the
+# exact alias distribution; noise at 8k samples remains far below
+# path-tracing noise for <= 4096 spp frames)
+POOL_N = int(os.environ.get("VOLREN_POOL_N", "16384"))
 
 
 def build_env_pool(scene, seed: int, spp_base: int):
@@ -376,19 +382,20 @@ def build_env_pool(scene, seed: int, spp_base: int):
     u2 = jnp.asarray(rng.random((POOL_N, 2), np.float32))
     uv_x, uv_y, pdf, w_i, le_texel = sample_environment_alias(scene.env, u2)
     le = scene.env.strength * le_texel
+    rows = POOL_N // 128
     return {
-        "wx": w_i[:, 0].reshape(128, 128),
-        "wy": w_i[:, 1].reshape(128, 128),
-        "wz": w_i[:, 2].reshape(128, 128),
-        "pdf": pdf.reshape(128, 128),
-        "ler": le[:, 0].reshape(128, 128),
-        "leg": le[:, 1].reshape(128, 128),
-        "leb": le[:, 2].reshape(128, 128),
+        "wx": w_i[:, 0].reshape(rows, 128),
+        "wy": w_i[:, 1].reshape(rows, 128),
+        "wz": w_i[:, 2].reshape(rows, 128),
+        "pdf": pdf.reshape(rows, 128),
+        "ler": le[:, 0].reshape(rows, 128),
+        "leg": le[:, 1].reshape(rows, 128),
+        "leb": le[:, 2].reshape(rows, 128),
         # radiance channels RGBE-packed into ONE i32 table: the NEE
         # serve scans 5 tables instead of 7 (the pool fetch was +7.8
         # us/step in the round-4 attribution). Same 1/256 precision the
         # reference's .hdr assets carry on disk (kernel pool_rgbe flag)
-        "lergbe": rgbe_encode(le).reshape(128, 128),
+        "lergbe": rgbe_encode(le).reshape(rows, 128),
     }
 
 
