@@ -89,7 +89,7 @@ def main():
         "commit_s": round(commit_s, 1), "compile_s": round(compile_s, 1),
         "spp_per_s": round(rate, 3), "mean": round(mean, 4),
         "extrapolated_4096spp_s": round(4096 / rate, 0),
-        "engine": r.step_engine,
+        "engine": r.last_engine or r.step_engine,
     })
 
     # parameter sweep — all traced args, zero recompiles
