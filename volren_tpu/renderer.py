@@ -85,8 +85,12 @@ class Renderer:
         # (pack.kernel_plan — DMA row-gather resolves; cloud 3.65 vs
         # 2.37 device_queue); only scenes whose NON-atlas tables exceed
         # VMEM fall back to device_queue with a warning (trace()).
+        # "auto" resolves per trace: pallas for no-TF scenes,
+        # device_queue for TF scenes (each the measured-faster engine
+        # for its kernel variant — see trace()); any explicit engine
+        # name (env var or assignment) disables the auto-switch
         self.step_engine = os.environ.get("VOLREN_STEP_ENGINE") or (
-            "pallas" if jax.default_backend() == "tpu" else "device"
+            "auto" if jax.default_backend() == "tpu" else "device"
         )
         # the engine that actually executed the most recent trace() —
         # differs from step_engine when a capability gate forced a
@@ -480,6 +484,23 @@ class Renderer:
         (renderer.cpp:78-145; one GL dispatch = spp=1)."""
         if not self._density_grids:
             self.commit()
+        if self.engine == "wavefront" and self.step_engine == "auto":
+            # the reference switches kernels on TF presence
+            # (renderer.cpp:80: trace vs trace_tf); here the switch
+            # picks the measured-faster ENGINE per variant: the pallas
+            # megakernel for no-TF scenes (14.5 vs 5.0 spp/s @1024^2,
+            # BENCH_r05), device_queue for TF scenes (10.6 vs 5.0
+            # @512^2 same-session, tf_pallas.jsonl — the TF kernel's
+            # exact-trilinear classification is 8 compacted corner
+            # fetches per serve). Explicit step_engine always wins.
+            eff = ("device_queue" if self._config().use_tf
+                   else "pallas")
+            saved = self.step_engine
+            try:
+                self.step_engine = eff
+                return self.trace(spp)
+            finally:
+                self.step_engine = saved
         # bound per-dispatch work for the single-dispatch engine. Round 2
         # saw a 64-spp parity-config while_loop fault the device
         # (UNAVAILABLE kernel fault) and fenced dispatches at 16 spp; the
