@@ -413,3 +413,32 @@ def test_pool_rgbe_serve(random_grid16):
     rel = abs(b[:, :3].mean() - a[:, :3].mean()) / max(
         a[:, :3].mean(), 1e-9)
     assert rel < 0.02, rel
+
+
+def test_resolve_bound_bitwise(random_grid16):
+    """Range-bound resolve classify (kernel bound_cls / bound_cmp) is
+    bitwise identical to the unbound paths on BOTH serve shapes: the
+    brick meta's exact f32 decode bounds determine every skipped lane's
+    decision (monotone op-order argument in the kernel), u_cls rides
+    the same per-lane stream position, and phase B always covers the
+    ambiguous subset (need is a subset of act at equal capacity).
+    Interpret mode; the on-TPU audit is probes/results/rbound{,2}.jsonl."""
+    r = _tiny_renderer(random_grid16)
+    scene = r._scene_device()
+    from volren_tpu.ops.pallas import pack_scene
+    from volren_tpu.ops.pallas.kernel import render_strips
+    from volren_tpu.ops.pallas.pack import build_env_pool, build_params_rows
+
+    packed = pack_scene(scene)
+    pool = build_env_pool(scene, 123, 0)
+    pf, pi = build_params_rows(scene, r._trace_params(), 32, 32, 0)
+    base = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                    queue_items=1024, resolve_full=False,
+                                    resolve_bound=0))
+    for kw in (dict(resolve_full=False, resolve_bound=1),
+               dict(resolve_full=False, resolve_bound=1, hbm_atlas=True),
+               dict(resolve_full=True, resolve_bound=0),
+               dict(resolve_full=True, resolve_bound=2)):
+        got = np.asarray(render_strips(packed, pool, pf, pi, 1024, 32, 2,
+                                       queue_items=1024, **kw))
+        assert np.array_equal(base, got), kw

@@ -606,7 +606,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                  nee_full=False, sublanes=8, tile_w=0, scan_blocks=8,
                  meta_block=0, nee_every=1, mxu_gather=False,
                  mip_u8=False, hbm_atlas=False, mip_block=-1,
-                 pool_rgbe=False):
+                 pool_rgbe=False, resolve_bound=True):
     """queue_items > 0 switches to WORK-QUEUE mode: the grid instance
     owns a super-block of `queue_items` pixels; sublanes*128 persistent lanes
     dequeue pixels from a carried cursor (claims ranked by
@@ -634,6 +634,20 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
 
     use_tf = meta.tf_rows > 0
     has_emi = meta.emi_n_slots > 0
+    # range-bound classify: exact only when d feeds nothing but the
+    # u_cls*maj < d compare (no TF, no emission). bound_cls gates the
+    # full-lane serve path; bound_cmp gates the compacted/hbm path
+    # (classify-then-serve: meta-only rounds first, atlas/DMA rounds
+    # only for the ambiguous subset — the capacity law's denominator
+    # then counts only ambiguous resolves).
+    # resolve_bound: 0 = off (default — bitwise-exact everywhere but
+    # measured a loss at every production shape; renderer.py knob
+    # comment + probes/results/rbound{,2}.jsonl), 1 = compact path
+    # only, 2 = also the full-lane path
+    bound_cls = (int(resolve_bound) >= 2 and not use_tf and not has_emi
+                 and (not compact or resolve_full))
+    bound_cmp = (int(resolve_bound) >= 1 and not use_tf and not has_emi
+                 and compact and not resolve_full)
     if (use_tf or has_emi) and not compact:
         raise NotImplementedError(
             "TF/emission kernels require compact=True")
@@ -1221,40 +1235,183 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                     bidx, voff = brick_index(tap)
                     key = bidx * 512 + voff
 
-                    def serve_resolve(rnd, d):
-                        m_r = act & (rank >= 128 * rnd) \
-                            & (rank < 128 * (rnd + 1))
-                        rankc = jnp.where(m_r, rank - 128 * rnd, 127)
-                        (key_c,) = _compact_rows([key], rankc, m_r)
-                        bidx_c = key_c >> 9
-                        voff_c = key_c & 511
-                        slot_c, lo_c, hi_c = _scan_rows(
-                            [mslot_t, mlo_t, mhi_t], bidx_c >> 7,
-                            bidx_c & 127, meta.meta_rows,
-                            block=meta_block)
-                        slot_c = jnp.clip(slot_c, 0, meta.n_slots - 1)
-                        if hbm_atlas:
-                            g32_c = hbm_atlas_fetch(slot_c, voff_c >> 2)
-                        else:
-                            (g32_c,) = _scan_rows(
-                                [atlas_t], slot_c, voff_c >> 2,
-                                meta.n_slots, block=atlas_block)
-                        shift_c = (voff_c & 3) * 8
-                        unorm_c = ((g32_c >> shift_c) & 255).astype(f32) \
-                            * f32(1.0 / 255.0)
-                        d_c = lo_c + unorm_c * (hi_c - lo_c)
-                        (d_r,) = _route_back([d_c], rankc)
-                        return jnp.where(m_r, d_r, d)
+                    if bound_cmp:
+                        # CLASSIFY-THEN-SERVE: phase A rounds resolve
+                        # ranked lanes from the meta bounds alone
+                        # (u_cls*maj vs the brick's exact f32 decode
+                        # range — see the bound_cls comment below for
+                        # the monotonicity argument); only ambiguous
+                        # lanes re-rank into phase B's atlas rounds, so
+                        # hbm DMA rounds (and the capacity law's
+                        # denominator) count only ambiguous resolves.
+                        # BITWISE identical to the unbound path: phase
+                        # B's capacity equals phase A's and need is a
+                        # subset of act, so every classified-ambiguous
+                        # lane is always served this call — no extra
+                        # parking, same decisions, same draws.
+                        seed, u_cls = _rng(seed, act)
+                        thr = u_cls * jnp.maximum(maj, 0.0)
+                        umax = f32(255.0) * f32(1.0 / 255.0)
 
-                    d = jnp.zeros(LANES, f32)
-                    for rnd in range(RESOLVE_ROUNDS):
-                        if rnd == 0:
-                            d = serve_resolve(0, d)
-                        else:
-                            d = lax.cond(tot_test > 128 * rnd,
-                                         partial(serve_resolve, rnd),
-                                         lambda x: x, d)
-                    d = density_scale * d
+                        def classify(rnd, c):
+                            cls, sv, lv, hv = c
+                            m_r = act & (rank >= 128 * rnd) \
+                                & (rank < 128 * (rnd + 1))
+                            rankc = jnp.where(m_r, rank - 128 * rnd, 127)
+                            key_c, thr_c = _compact_rows(
+                                [key, thr], rankc, m_r)
+                            bidx_c = key_c >> 9
+                            slot_c, lo_c, hi_c = _scan_rows(
+                                [mslot_t, mlo_t, mhi_t], bidx_c >> 7,
+                                bidx_c & 127, meta.meta_rows,
+                                block=meta_block)
+                            slot_c = jnp.clip(slot_c, 0,
+                                              meta.n_slots - 1)
+                            e0 = density_scale * lo_c
+                            e1 = density_scale * (lo_c
+                                                  + umax * (hi_c - lo_c))
+                            blo = jnp.minimum(e0, e1)
+                            bhi = jnp.maximum(e0, e1)
+                            code_c = jnp.where(
+                                thr_c < blo, 1,
+                                jnp.where(thr_c >= bhi, 2, 3))
+                            code_r, s_r, l_r, h_r = _route_back(
+                                [code_c, slot_c, lo_c, hi_c], rankc)
+                            return (jnp.where(m_r, code_r, cls),
+                                    jnp.where(m_r, s_r, sv),
+                                    jnp.where(m_r, l_r, lv),
+                                    jnp.where(m_r, h_r, hv))
+
+                        zi = jnp.zeros(LANES, i32)
+                        zf = jnp.zeros(LANES, f32)
+                        c = (zi, zi, zf, zf)
+                        for rnd in range(RESOLVE_ROUNDS):
+                            if rnd == 0:
+                                c = classify(0, c)
+                            else:
+                                c = lax.cond(tot_test > 128 * rnd,
+                                             partial(classify, rnd),
+                                             lambda x: tuple(x), c)
+                        cls_v, slot_v, lo_v, hi_v = c
+                        needm = cls_v == 3
+                        rank2, tot_need = _prefix_ranks(needm)
+                        act2 = needm & (rank2 < 128 * RESOLVE_ROUNDS)
+
+                        def fserve(rnd, u):
+                            m_r = act2 & (rank2 >= 128 * rnd) \
+                                & (rank2 < 128 * (rnd + 1))
+                            rankc = jnp.where(m_r, rank2 - 128 * rnd,
+                                              127)
+                            slot_c, voff_c = _compact_rows(
+                                [slot_v, voff], rankc, m_r)
+                            if hbm_atlas:
+                                g32_c = hbm_atlas_fetch(slot_c,
+                                                        voff_c >> 2)
+                            else:
+                                (g32_c,) = _scan_rows(
+                                    [atlas_t], slot_c, voff_c >> 2,
+                                    meta.n_slots, block=atlas_block)
+                            shift_c = (voff_c & 3) * 8
+                            unorm_c = ((g32_c >> shift_c) & 255) \
+                                .astype(f32) * f32(1.0 / 255.0)
+                            (u_r,) = _route_back([unorm_c], rankc)
+                            return jnp.where(m_r, u_r, u)
+
+                        unorm_v = zf
+                        for rnd in range(RESOLVE_ROUNDS):
+                            # every round demand-gated — incl. round 0:
+                            # a zero-ambiguity step pays no atlas/DMA
+                            unorm_v = lax.cond(
+                                tot_need > 128 * rnd,
+                                partial(fserve, rnd),
+                                lambda x: x, unorm_v)
+                        # same decode op order as the unbound path:
+                        # lo + unorm*(hi-lo), then * density_scale
+                        d = density_scale * (lo_v
+                                             + unorm_v * (hi_v - lo_v))
+                        real_pre = act & ((cls_v == 1)
+                                          | (act2 & (thr < d)))
+                        served_act = act & ((cls_v == 1) | (cls_v == 2)
+                                            | act2)
+                    else:
+                        def serve_resolve(rnd, d):
+                            m_r = act & (rank >= 128 * rnd) \
+                                & (rank < 128 * (rnd + 1))
+                            rankc = jnp.where(m_r, rank - 128 * rnd, 127)
+                            (key_c,) = _compact_rows([key], rankc, m_r)
+                            bidx_c = key_c >> 9
+                            voff_c = key_c & 511
+                            slot_c, lo_c, hi_c = _scan_rows(
+                                [mslot_t, mlo_t, mhi_t], bidx_c >> 7,
+                                bidx_c & 127, meta.meta_rows,
+                                block=meta_block)
+                            slot_c = jnp.clip(slot_c, 0, meta.n_slots - 1)
+                            if hbm_atlas:
+                                g32_c = hbm_atlas_fetch(slot_c, voff_c >> 2)
+                            else:
+                                (g32_c,) = _scan_rows(
+                                    [atlas_t], slot_c, voff_c >> 2,
+                                    meta.n_slots, block=atlas_block)
+                            shift_c = (voff_c & 3) * 8
+                            unorm_c = ((g32_c >> shift_c) & 255) \
+                                .astype(f32) * f32(1.0 / 255.0)
+                            d_c = lo_c + unorm_c * (hi_c - lo_c)
+                            (d_r,) = _route_back([d_c], rankc)
+                            return jnp.where(m_r, d_r, d)
+
+                        d = jnp.zeros(LANES, f32)
+                        for rnd in range(RESOLVE_ROUNDS):
+                            if rnd == 0:
+                                d = serve_resolve(0, d)
+                            else:
+                                d = lax.cond(tot_test > 128 * rnd,
+                                             partial(serve_resolve, rnd),
+                                             lambda x: x, d)
+                        d = density_scale * d
+                elif bound_cls:
+                    # RANGE-BOUND SHORT-CIRCUIT (full-lane path): the
+                    # classification u_cls*maj < d only ever consumes d
+                    # (no TF, no emission), and the brick meta bounds d
+                    # EXACTLY in f32 (d = ds*(lo + unorm*(hi-lo)) with
+                    # unorm in [0, UMAX]; every op in that chain is
+                    # monotone, so the endpoint evaluations bound every
+                    # decode). Lanes whose threshold falls outside
+                    # [blo, bhi) classify from the 32-row meta scan
+                    # alone and never touch the atlas scan — the #1
+                    # per-step cost slice (pallas16). Bitwise-identical:
+                    # u_cls is drawn at the same per-lane stream
+                    # position (nothing draws between the tricubic taps
+                    # and the classify draw on this path), and skipped
+                    # lanes' decisions equal what the fetch would give.
+                    tap, seed = stochastic_tricubic(pos, s["seed"], act)
+                    tap = _w3(act, tap, (jnp.zeros(LANES, f32),) * 3)
+                    bidx_b, voff_b = brick_index(tap)
+                    slot_b, lo_b, hi_b = fetch_meta(bidx_b)
+                    slot_b = jnp.clip(slot_b, 0, meta.n_slots - 1)
+                    seed, u_cls = _rng(seed, act)
+                    thr = u_cls * jnp.maximum(maj, 0.0)
+                    umax = f32(255.0) * f32(1.0 / 255.0)
+                    e0 = density_scale * lo_b
+                    e1 = density_scale * (lo_b + umax * (hi_b - lo_b))
+                    blo = jnp.minimum(e0, e1)
+                    bhi = jnp.maximum(e0, e1)
+                    need = act & (thr >= blo) & (thr < bhi)
+
+                    def fetch_do(z):
+                        slot_n = jnp.where(need, slot_b, 0)
+                        voff_n = jnp.where(need, voff_b, 0)
+                        g32 = _scan_gather(
+                            [atlas_t], slot_n, voff_n >> 2,
+                            meta.n_slots, block=atlas_block)[0]
+                        shift = (voff_n & 3) * 8
+                        return ((g32 >> shift) & 255).astype(f32) \
+                            * f32(1.0 / 255.0)
+
+                    unorm_b = lax.cond(jnp.any(need), fetch_do,
+                                       lambda z: z,
+                                       jnp.zeros(LANES, f32))
+                    d = density_scale * (lo_b + unorm_b * (hi_b - lo_b))
+                    real_pre = act & ((thr < blo) | (need & (thr < d)))
                 else:
                     tap, seed = stochastic_tricubic(pos, s["seed"], act)
                     # idle lanes' stale positions would touch random
@@ -1321,9 +1478,18 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                         [lo2_c + hi2_c + (g32b_c & 255).astype(f32)],
                         rankc)
                     d = d + f32(1e-30) * d2
-                seed, u_cls = _rng(seed, act)
-                real = act & (u_cls * jnp.maximum(maj, 0.0) < d)
-                redraw = act & ~real
+                if bound_cls:
+                    real = real_pre      # u_cls drawn pre-fetch above
+                    redraw = act & ~real
+                elif bound_cmp:
+                    # served_act == act (phase B always covers need);
+                    # kept separate for clarity of the scheme
+                    real = real_pre
+                    redraw = served_act & ~real
+                else:
+                    seed, u_cls = _rng(seed, act)
+                    real = act & (u_cls * jnp.maximum(maj, 0.0) < d)
+                    redraw = act & ~real
                 seed, u_tau = _rng(seed, redraw)
                 s["tau"] = jnp.where(redraw, -jnp.log(1.0 - u_tau),
                                      s["tau"])
@@ -1925,7 +2091,7 @@ def _make_kernel(meta, width, spp, k_march, test_every, unroll,
                      "escape_full", "nee_full", "sublanes", "tile_w",
                      "scan_blocks", "meta_block", "nee_every",
                      "mxu_gather", "mip_u8", "hbm_atlas", "mip_block",
-                     "pool_rgbe"),
+                     "pool_rgbe", "resolve_bound"),
 )
 def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        spp, k_march, test_every, unroll, escape_every,
@@ -1935,7 +2101,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                        nee_full=False, sublanes=8, tile_w=0,
                        scan_blocks=8, meta_block=0, nee_every=1,
                        mxu_gather=False, mip_u8=False, hbm_atlas=False,
-                       mip_block=-1, pool_rgbe=False, perm=None):
+                       mip_block=-1, pool_rgbe=False, resolve_bound=0,
+                       perm=None):
     max_iters = (2048 + 512 * spp) * 8
     if queue_items:
         max_iters = max_iters * (queue_items // 1024 + 1)
@@ -1951,7 +2118,8 @@ def _render_strips_jit(tabs, pool, pf, pi, meta, width, n_strips,
                           meta_block=meta_block, nee_every=nee_every,
                           mxu_gather=mxu_gather, mip_u8=mip_u8,
                           hbm_atlas=hbm_atlas, mip_block=mip_block,
-                          pool_rgbe=pool_rgbe)
+                          pool_rgbe=pool_rgbe,
+                          resolve_bound=resolve_bound)
 
     img_rows = (queue_items // 128) if queue_items else sublanes
     out_shape = [jax.ShapeDtypeStruct((n_strips * img_rows, 128), f32)
@@ -2053,7 +2221,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
                   resolve_full=False, escape_full=False, nee_full=False,
                   sublanes=8, tile_w=0, scan_blocks=8, meta_block=0,
                   nee_every=1, mxu_gather=False, mip_u8=False,
-                  hbm_atlas=False, mip_block=-1, pool_rgbe=False):
+                  hbm_atlas=False, mip_block=-1, pool_rgbe=False,
+                  resolve_bound=0):
     """Render ``n_pix`` flat pixels (n_pix % 1024 == 0) of a
     ``width``-wide frame at ``spp`` samples each; returns the (n_pix, 4)
     per-pixel SUM of per-sample (L, alpha). Samples are the
@@ -2118,7 +2287,8 @@ def render_strips(packed: PackedScene, pool, pf, pi, n_pix, width, spp,
         meta_block=int(meta_block), nee_every=int(nee_every),
         mxu_gather=bool(mxu_gather), mip_u8=bool(mip_u8),
         hbm_atlas=bool(hbm_atlas), mip_block=int(mip_block),
-        pool_rgbe=bool(pool_rgbe), perm=perm)
+        pool_rgbe=bool(pool_rgbe), resolve_bound=int(resolve_bound),
+        perm=perm)
     if return_iters:
         return img, iters
     return img

@@ -132,6 +132,16 @@ class Renderer:
         # dynamic_gather scans; see ops/pallas/kernel.py fetch engines)
         self.pallas_mxu_gather = os.environ.get(
             "VOLREN_PALLAS_MXU", "0") == "1"
+        # range-bound resolve classify: lanes whose u_cls*maj threshold
+        # falls outside the brick's exact [lo,hi] decode range skip the
+        # atlas fetch. Bitwise-exact on every path but measured a LOSS
+        # at every production shape (full-lane: wash at 1024^2, -13% at
+        # 512^2, rbound.jsonl; compacted/hbm: -23% cloud / -34% forced-
+        # hbm smoke, rbound2.jsonl — dense regions put most thresholds
+        # inside [lo,hi], so the classify machinery outcosts the saved
+        # rounds). Default 0 = off; 1 = compacted/hbm path, 2 = both.
+        self.pallas_resolve_bound = int(os.environ.get(
+            "VOLREN_PALLAS_RBOUND", "0"))
         # u8-quantized majorant mips (pack.build_mip_u8): default ON —
         # 4x fewer march-scan rows bought +26% at 1024^2 and +75% at
         # 256^2 in-session (probes/results/r5sweep.jsonl, hbm.jsonl);
@@ -475,6 +485,7 @@ class Renderer:
             mip_block=self.pallas_mip_block,
             meta_block=self.pallas_meta_block,
             pool_rgbe=self.pallas_pool_rgbe,
+            resolve_bound=self.pallas_resolve_bound,
             mip_override=mip_override,
         )
         return out[:n_pix].reshape(self._height, self._width, 4)
